@@ -1,0 +1,67 @@
+"""Device mesh + sharding helpers.
+
+The reference's only parallelism is DDP data-parallel over NCCL
+(/root/reference/src/utils/misc.py:390-415). TPU-natively this becomes a
+named `jax.sharding.Mesh` with a "data" axis (and an extensible "model"
+axis for tensor-parallel sharding of the wide stacked heads): jit with
+`NamedSharding` lets GSPMD insert the ICI collectives (grad psum, global
+batch-norm stats) automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    data: Optional[int] = None,
+    model: int = 1,
+) -> Mesh:
+    """Build a ("data", "model") mesh over the available devices.
+
+    With a single chip this is a 1x1 mesh — all sharding code still works
+    (GSPMD treats size-1 axes as no-ops), so the same train step runs on
+    one chip or a v5e-8 slice unchanged.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data is None:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host pytree of arrays onto the mesh, batch-dim sharded."""
+    sharding = data_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def pad_to_multiple(n: int, k: int) -> int:
+    return ((n + k - 1) // k) * k
