@@ -9,7 +9,7 @@ from sm3x.models.simclr import (
     SimCLRSkinV32,
     build_ssl_model,
 )
-from sm3x.models.mlc import MLCHead, Prototypes
+from sm3x.models.mlc import MLCHead, Prototypes, MLCModel, DualExtractor
 from sm3x.models.baseline import (
     Baseline,
     SingleBaseline,
@@ -34,6 +34,8 @@ __all__ = [
     "build_ssl_model",
     "MLCHead",
     "Prototypes",
+    "MLCModel",
+    "DualExtractor",
     "Baseline",
     "SingleBaseline",
     "MultiHeadClassifier",

@@ -18,7 +18,10 @@ from typing import Any, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
+import jax
+
 from sm3x import NUM_CLASSES
+from sm3x.models import resnet as resnet_lib
 from sm3x.models.projector import MultiLabelProjector, torch_linear_init
 from sm3x.models.transformer import TransformerEncoderLayer
 
@@ -99,3 +102,94 @@ class MLCHead(nn.Module):
             dtype=self.dtype, name="prototypes",
         )(sa)
         return sa, preds
+
+
+class _BareEncoder(nn.Module):
+    """One bare ResNet under an `encoder` scope — keeps the parameter tree
+    aligned with the reference's `extractor.derm_backbone.encoder.*` keys
+    after stage-2 nulls the SSL projectors (mlc_train.py:344-346)."""
+
+    arch: str
+    dtype: Any = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    def setup(self):
+        self.encoder = resnet_lib.build_resnet(
+            self.arch, dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+
+    def __call__(self, x, train: bool = False):
+        return self.encoder(x, train)
+
+
+class DualExtractor(nn.Module):
+    """Two bare encoders; extract() returns the concatenated (B, 2*feat)
+    late-fusion feature (reference Model.forward, mlc_train.py:71-72)."""
+
+    arch: str = "resnet50"
+    dtype: Any = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    def setup(self):
+        self.derm_backbone = _BareEncoder(self.arch, self.dtype, self.bn_axis_name)
+        self.clinic_backbone = _BareEncoder(self.arch, self.dtype, self.bn_axis_name)
+        self.feat_dim = 2 * resnet_lib.feat_dim(self.arch)
+
+    def __call__(self, derm_imgs, clinic_imgs, train: bool = False):
+        d = self.derm_backbone(derm_imgs, train)
+        c = self.clinic_backbone(clinic_imgs, train)
+        return jnp.concatenate([d, c], axis=1)
+
+
+class MLCModel(nn.Module):
+    """Full stage-2 / inference model: DualExtractor + MLCHead.
+
+    `extractor_train` / `head_train` reproduce the reference's granular
+    train/eval submodule switches (mlc_eval.py:125-139, mlc_train.py:231-237):
+    the flags control BN statistic mode and dropout; actual parameter
+    freezing is an optimizer mask in the train loops. `stop_extractor_grad`
+    cuts the (useless) backward through a frozen backbone entirely.
+    """
+
+    arch: str = "resnet50"
+    proj_dim: int = 512
+    num_labels: int = 8
+    mlc_proj: str = "v4"
+    l2_norm: bool = False
+    n_heads: int = 1
+    sa_dim_ff: int = 128
+    sa_dropout: float = 0.1
+    use_prototype_bias: bool = False
+    num_classes: Sequence[int] = tuple(NUM_CLASSES)
+    dtype: Any = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    def setup(self):
+        self.extractor = DualExtractor(self.arch, self.dtype, self.bn_axis_name)
+        in_dim = 2 * resnet_lib.feat_dim(self.arch)
+        self.head = MLCHead(
+            in_dim=in_dim,
+            proj_dim=self.proj_dim,
+            num_labels=self.num_labels,
+            mlc_proj=self.mlc_proj,
+            l2_norm=self.l2_norm,
+            n_heads=self.n_heads,
+            sa_dim_ff=self.sa_dim_ff,
+            sa_dropout=self.sa_dropout,
+            use_prototype_bias=self.use_prototype_bias,
+            num_classes=self.num_classes,
+            dtype=jnp.float32,
+            bn_axis_name=self.bn_axis_name,
+        )
+
+    def __call__(
+        self,
+        derm_imgs,
+        clinic_imgs,
+        extractor_train: bool = False,
+        head_train: bool = False,
+        stop_extractor_grad: bool = True,
+    ):
+        feats = self.extractor(derm_imgs, clinic_imgs, extractor_train)
+        if stop_extractor_grad:
+            feats = jax.lax.stop_gradient(feats)
+        return self.head(feats.astype(jnp.float32), head_train)

@@ -20,7 +20,13 @@ import flax.linen as nn
 def torch_linear_init(fan_in: int):
     """torch.nn.Linear default: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
     bound = 1.0 / (fan_in ** 0.5)
-    return nn.initializers.uniform(scale=2 * bound, offset=-bound)
+
+    def init(key, shape, dtype=jnp.float32):
+        import jax
+
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
 
 
 def _dense(features, use_bias=True, name=None, fan_in=None, dtype=jnp.float32):
