@@ -1,0 +1,90 @@
+"""Dataset registry (the reference dispatches datasets by name:
+`datasets.__dict__[args.data_name]`, src/utils/misc.py:433)."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from sm3x.data.derm7pt import Derm7ptMeta
+from sm3x.data.pipeline import ImageStore, PairedImageData
+
+
+def SevenPCBaseDataset(data_path: str, mode: str, cache_size: int = 320,
+                       workers: int = 8, grouped: bool = True) -> PairedImageData:
+    """Paired (derm, clinic, label[8]) split over the grouped schema —
+    the pipeline's dataset (reference datasets.py:477-570 + grouped
+    tables :439-474)."""
+    meta = Derm7ptMeta(data_path, grouped=grouped)
+    return PairedImageData.from_meta(meta, mode, cache_size, workers)
+
+
+# SevenPCBaseDataset2 (joint-tensor transform variant, datasets.py:573-605)
+# differs from SevenPCBaseDataset only in WHERE the transform is applied;
+# with on-device augmentation both collapse to the same data layout. The
+# alias keeps run.sh recipes working by name.
+SevenPCBaseDataset2 = SevenPCBaseDataset
+
+
+class SingleImageData:
+    """Single-modality dataset (ISIC transfer tasks, datasets.py:710-827):
+    image + multi-label binary targets from a label CSV."""
+
+    def __init__(self, image_dir: str, label_csv: str, cache_size: int = 320,
+                 workers: int = 8, ext: str = ".jpg"):
+        import pandas as pd
+
+        df = pd.read_csv(label_csv)
+        ids = df.iloc[:, 0].astype(str).tolist()
+        self.labels = df.iloc[:, 1:].to_numpy().astype(np.int32)
+        paths = [os.path.join(image_dir, i + ext) for i in ids]
+        self.store = ImageStore(paths, cache_size, crop_amount=0, workers=workers)
+        self.n = len(paths)
+
+    def batches(self, batch_size: int, epoch: int = 0, seed: int = 3407,
+                shuffle: bool = True):
+        idx = np.arange(self.n)
+        if shuffle:
+            np.random.default_rng(seed + epoch).shuffle(idx)
+        for start in range(0, self.n, batch_size):
+            sel = idx[start:start + batch_size]
+            mask = np.ones(len(sel), dtype=bool)
+            if len(sel) < batch_size:
+                padn = batch_size - len(sel)
+                sel = np.concatenate([sel, idx[:padn]])
+                mask = np.concatenate([mask, np.zeros(padn, dtype=bool)])
+            yield (self.store.canvases[sel], self.store.valid_hw[sel],
+                   self.labels[sel], sel.astype(np.int32), mask)
+
+
+def ISIC17Dataset(data_path: str, mode: str, cache_size: int = 320,
+                  workers: int = 8) -> SingleImageData:
+    sub = "ISIC-2017_Training_Data" if mode == "train" else "ISIC-2017_Test_v2_Data"
+    csv = "train_labels.csv" if mode == "train" else "test_labels.csv"
+    return SingleImageData(os.path.join(data_path, sub),
+                           os.path.join(data_path, csv), cache_size, workers)
+
+
+def ISIC18Dataset(data_path: str, mode: str, cache_size: int = 320,
+                  workers: int = 8) -> SingleImageData:
+    sub = ("ISIC2018_Task1-2_Training_Input" if mode == "train"
+           else "ISIC2018_Task1-2_Test_Input")
+    csv = "train_labels.csv" if mode == "train" else "test_labels.csv"
+    return SingleImageData(os.path.join(data_path, sub),
+                           os.path.join(data_path, csv), cache_size, workers)
+
+
+REGISTRY = {
+    "SevenPCBaseDataset": SevenPCBaseDataset,
+    "SevenPCBaseDataset2": SevenPCBaseDataset2,
+    "ISIC17Dataset": ISIC17Dataset,
+    "ISIC18Dataset": ISIC18Dataset,
+}
+
+
+def build_dataset(data_name: str, data_path: str, mode: str, **kw):
+    if data_name not in REGISTRY:
+        raise KeyError(f"unknown dataset {data_name!r}; have {sorted(REGISTRY)}")
+    return REGISTRY[data_name](data_path, mode, **kw)

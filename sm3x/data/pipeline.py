@@ -1,0 +1,137 @@
+"""TPU-first input pipeline.
+
+Reference pipeline (N3 in SURVEY §2b): OpenCV JPEG decode + torchvision
+CPU transforms inside DataLoader worker processes for EVERY epoch. Here
+the host work happens once: each image is decoded (OpenCV, BGR->RGB —
+functional.py:30-36), border-cropped (25 px, datasets.py:499) and
+letterboxed into a fixed uint8 canvas that is cached in RAM (Derm7pt is
+~2k images — a few hundred MB). Every epoch then only slices uint8
+canvases into pinned batches; all random augmentation runs fused on the
+TPU (sm3x.ops.augment). The canvas keeps the image's aspect ratio and
+records the valid (h, w) so RandomResizedCrop samples the same geometry
+distribution as the reference's full-resolution crops.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def decode_image(path: str) -> np.ndarray:
+    """OpenCV decode to RGB uint8 (functional.py:30-36)."""
+    import cv2
+
+    img = cv2.imread(path)
+    if img is None:
+        raise FileNotFoundError(path)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def letterbox(img: np.ndarray, size: int) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """Fit `img` into a (size, size) canvas top-left, preserving aspect.
+    Returns (canvas uint8, valid (h, w))."""
+    import cv2
+
+    h, w = img.shape[:2]
+    scale = min(size / h, size / w)
+    if scale < 1.0:
+        nh, nw = max(1, int(round(h * scale))), max(1, int(round(w * scale)))
+        img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_AREA)
+    else:
+        nh, nw = h, w
+    canvas = np.zeros((size, size, 3), dtype=np.uint8)
+    canvas[:nh, :nw] = img
+    return canvas, (nh, nw)
+
+
+class ImageStore:
+    """Decode-once uint8 canvas cache for a list of image paths."""
+
+    def __init__(self, paths: Sequence[str], cache_size: int = 320,
+                 crop_amount: int = 25, workers: int = 8):
+        self.cache_size = cache_size
+        self.crop_amount = crop_amount
+        n = len(paths)
+        self.canvases = np.zeros((n, cache_size, cache_size, 3), dtype=np.uint8)
+        self.valid_hw = np.zeros((n, 2), dtype=np.int32)
+
+        def load(i_path):
+            i, path = i_path
+            img = decode_image(path)[:, :, :3]
+            ca = self.crop_amount
+            if ca > 0:
+                img = img[ca:-ca, ca:-ca]
+            canvas, (h, w) = letterbox(img, cache_size)
+            self.canvases[i] = canvas
+            self.valid_hw[i] = (h, w)
+
+        with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(load, enumerate(paths)))
+
+
+@dataclasses.dataclass
+class Batch:
+    derm: np.ndarray          # (B, S, S, 3) uint8 canvases
+    derm_hw: np.ndarray       # (B, 2) int32
+    clinic: np.ndarray
+    clinic_hw: np.ndarray
+    label: np.ndarray         # (B, 8) int32
+    index: np.ndarray         # (B,) int32 dataset indices
+    mask: np.ndarray          # (B,) bool — False on wrap-padding (eval)
+
+
+class PairedImageData:
+    """A split of paired derm/clinic canvases + labels, ready to batch."""
+
+    def __init__(self, derm_paths, clinic_paths, labels,
+                 cache_size: int = 320, crop_amount: int = 25, workers: int = 8):
+        self.derm = ImageStore(derm_paths, cache_size, crop_amount, workers)
+        self.clinic = ImageStore(clinic_paths, cache_size, crop_amount, workers)
+        self.labels = np.asarray(labels, dtype=np.int32)
+        self.n = len(derm_paths)
+
+    @classmethod
+    def from_meta(cls, meta, split: str, cache_size: int = 320, workers: int = 8):
+        d, c, y = meta.examples(split)
+        return cls(d, c, y, cache_size, meta.crop_amount, workers)
+
+    def epoch_order(self, epoch: int, seed: int = 3407, shuffle: bool = True):
+        """Deterministic per-epoch permutation (the reference's
+        DistributedSampler.set_epoch analogue, misc.py:437 + loop :560)."""
+        idx = np.arange(self.n)
+        if shuffle:
+            rng = np.random.default_rng(seed + epoch)
+            rng.shuffle(idx)
+        return idx
+
+    def batches(self, batch_size: int, epoch: int = 0, seed: int = 3407,
+                shuffle: bool = True, pad: str = "wrap"):
+        """Yield fixed-size Batches (static shapes for jit). The last
+        partial batch is padded by wrapping (mask marks padding) — the
+        DistributedSampler pads similarly, SURVEY §7 'tiny-dataset
+        distributed sampling'."""
+        order = self.epoch_order(epoch, seed, shuffle)
+        n = len(order)
+        for start in range(0, n, batch_size):
+            sel = order[start:start + batch_size]
+            mask = np.ones(len(sel), dtype=bool)
+            if len(sel) < batch_size:
+                padn = batch_size - len(sel)
+                sel = np.concatenate([sel, order[:padn]])
+                mask = np.concatenate([mask, np.zeros(padn, dtype=bool)])
+            yield Batch(
+                derm=self.derm.canvases[sel],
+                derm_hw=self.derm.valid_hw[sel],
+                clinic=self.clinic.canvases[sel],
+                clinic_hw=self.clinic.valid_hw[sel],
+                label=self.labels[sel],
+                index=sel.astype(np.int32),
+                mask=mask,
+            )
+
+    def steps_per_epoch(self, batch_size: int) -> int:
+        return (self.n + batch_size - 1) // batch_size

@@ -1,0 +1,109 @@
+"""Data layer: schema mapping, splits, canvas cache, batching, augmentation."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sm3x.data.derm7pt import (
+    Derm7ptMeta, GROUPED_SCHEMA, FULL_SCHEMA, LABEL_ORD, strings2numeric,
+)
+from sm3x.data.synthetic import make_fake_derm7pt, synthetic_canvas_batch
+from sm3x.data.pipeline import PairedImageData
+from sm3x.ops.augment import (
+    ssl_augment_batch, eval_resize_batch, SSL_AUG, FINETUNE_AUG,
+)
+
+MEAN = (0.7833, 0.6712, 0.6026)
+STD = (0.2139, 0.2472, 0.2571)
+
+
+@pytest.fixture(scope="module")
+def fake_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("7pc")
+    return make_fake_derm7pt(str(root), n_cases=16, img_size=96)
+
+
+def test_grouped_schema_num_classes():
+    assert [GROUPED_SCHEMA[a].n_classes for a in LABEL_ORD] == [5, 3, 2, 3, 3, 3, 3, 2]
+    assert [FULL_SCHEMA[a].n_classes for a in LABEL_ORD] == [15, 3, 2, 8, 5, 3, 3, 4]
+
+
+def test_strings2numeric_groups_and_errors():
+    cat = GROUPED_SCHEMA["DIAG"]
+    out = strings2numeric(
+        ["clark nevus", "melanoma (in situ)", "seborrheic keratosis"], cat)
+    assert out.tolist() == [1, 2, 4]
+    with pytest.raises(ValueError):
+        strings2numeric(["not a lesion"], cat)
+
+
+def test_meta_and_store(fake_root):
+    meta = Derm7ptMeta(fake_root)
+    assert meta.labels.shape[1] == 8
+    assert meta.num_classes() == [5, 3, 2, 3, 3, 3, 3, 2]
+    data = PairedImageData.from_meta(meta, "train", cache_size=128)
+    assert data.derm.canvases.dtype == np.uint8
+    assert data.derm.canvases.shape[1:] == (128, 128, 3)
+    # border crop of 25px: valid region <= original - 50, letterboxed
+    assert np.all(data.derm.valid_hw <= 128)
+    assert np.all(data.derm.valid_hw > 0)
+
+
+def test_batches_fixed_shape_and_mask(fake_root):
+    meta = Derm7ptMeta(fake_root)
+    data = PairedImageData.from_meta(meta, "train", cache_size=64)
+    bs = 5
+    batches = list(data.batches(bs, epoch=0))
+    assert all(b.derm.shape[0] == bs for b in batches)
+    n_valid = sum(int(b.mask.sum()) for b in batches)
+    assert n_valid == data.n
+    # shuffling is deterministic per epoch
+    o1 = data.epoch_order(3)
+    o2 = data.epoch_order(3)
+    o3 = data.epoch_order(4)
+    assert np.array_equal(o1, o2) and not np.array_equal(o1, o3)
+
+
+def test_ssl_augment_shapes_and_stats():
+    canvases, hw, _ = synthetic_canvas_batch(4, canvas=96, seed=1)
+    rng = jax.random.key(0)
+    out = ssl_augment_batch(rng, jnp.asarray(canvases), jnp.asarray(hw),
+                            MEAN, STD, SSL_AUG)
+    assert out.shape == (4, 224, 224, 3)
+    assert out.dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(out)))
+    # two different keys give different views of the same canvas
+    out2 = ssl_augment_batch(jax.random.key(1), jnp.asarray(canvases),
+                             jnp.asarray(hw), MEAN, STD, SSL_AUG)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_eval_resize_deterministic():
+    canvases, hw, _ = synthetic_canvas_batch(3, canvas=96, seed=2)
+    a = eval_resize_batch(jnp.asarray(canvases), jnp.asarray(hw), MEAN, STD)
+    b = eval_resize_batch(jnp.asarray(canvases), jnp.asarray(hw), MEAN, STD)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert a.shape == (3, 224, 224, 3)
+
+
+def test_rrc_distribution_mean_area():
+    """Crop area/scale should follow U(scale_lo, scale_hi) roughly: mean
+    crop area fraction ~ (lo+hi)/2 of the source area."""
+    from sm3x.ops.augment import _sample_rrc_box
+
+    lo, hi = FINETUNE_AUG.rrc_scale  # (0.3, 1.0)
+    keys = jax.random.split(jax.random.key(0), 512)
+    h = jnp.full((), 200.0)
+    w = jnp.full((), 180.0)
+    boxes = jax.vmap(lambda k: _sample_rrc_box(k, h, w, FINETUNE_AUG))(keys)
+    areas = (boxes[2] * boxes[3]) / (200.0 * 180.0)
+    # the 10-attempt rejection biases the mean slightly below (lo+hi)/2
+    # (large crops with extreme aspect get rejected) — torchvision shares
+    # this bias, so allow a modest margin.
+    assert abs(float(areas.mean()) - (lo + hi) / 2) < 0.08
+    # crops stay inside the image
+    assert np.all(np.asarray(boxes[0]) >= 0)
+    assert np.all(np.asarray(boxes[0] + boxes[2]) <= 200.0 + 1e-3)
+    assert np.all(np.asarray(boxes[1] + boxes[3]) <= 180.0 + 1e-3)
