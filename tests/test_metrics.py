@@ -1,0 +1,109 @@
+"""Metric parity vs sklearn oracles + stage-metric aggregation."""
+
+import numpy as np
+import pytest
+
+from sklearn.metrics import roc_auc_score, recall_score, precision_score
+
+from sm3x import CLASSES_NAME, CLS_WEIGHTS, NUM_CLASSES
+from sm3x.metrics import (
+    multiclass_auroc,
+    multiclass_recall,
+    multiclass_specificity,
+    multiclass_precision,
+    compute_stage_metrics,
+    results_table,
+    softmax,
+)
+
+
+@pytest.fixture
+def logits_targets(rng_np):
+    n, c = 200, 5
+    logits = rng_np.normal(size=(n, c)).astype(np.float32)
+    target = rng_np.integers(0, c, n)
+    return logits, target
+
+
+def test_auroc_matches_sklearn(logits_targets):
+    logits, target = logits_targets
+    probs = softmax(logits.astype(np.float64))
+    got = multiclass_auroc(logits, target, 5)
+    for c in range(5):
+        want = roc_auc_score((target == c).astype(int), probs[:, c])
+        np.testing.assert_allclose(got[c], want, rtol=1e-10)
+
+
+def test_auroc_with_ties(rng_np):
+    scores = rng_np.integers(0, 3, 100).astype(np.float64)  # heavy ties
+    target = rng_np.integers(0, 2, 100)
+    logits = np.stack([1 - scores, scores], axis=1)
+    got = multiclass_auroc(logits, target, 2)
+    want = roc_auc_score(target, softmax(logits)[:, 1])
+    np.testing.assert_allclose(got[1], want, rtol=1e-10)
+
+
+def test_auroc_degenerate_class_is_zero(rng_np):
+    logits = rng_np.normal(size=(50, 3))
+    target = np.ones(50, dtype=int)  # classes 0, 2 have no positives
+    got = multiclass_auroc(logits, target, 3)
+    assert got[0] == 0.0 and got[2] == 0.0
+
+
+def test_recall_precision_match_sklearn(logits_targets):
+    logits, target = logits_targets
+    pred = logits.argmax(-1)
+    labels = list(range(5))
+    np.testing.assert_allclose(
+        multiclass_recall(logits, target, 5),
+        recall_score(target, pred, labels=labels, average=None, zero_division=0),
+    )
+    np.testing.assert_allclose(
+        multiclass_precision(logits, target, 5),
+        precision_score(target, pred, labels=labels, average=None, zero_division=0),
+    )
+
+
+def test_specificity_manual(rng_np):
+    logits = rng_np.normal(size=(100, 3))
+    target = rng_np.integers(0, 3, 100)
+    pred = logits.argmax(-1)
+    got = multiclass_specificity(logits, target, 3)
+    for c in range(3):
+        tn = np.sum((pred != c) & (target != c))
+        fp = np.sum((pred == c) & (target != c))
+        np.testing.assert_allclose(got[c], tn / (tn + fp))
+
+
+def test_stage_metrics_keys_and_avg(rng_np):
+    n = 60
+    preds = [rng_np.normal(size=(n, c)).astype(np.float32) for c in NUM_CLASSES]
+    targets = np.stack([rng_np.integers(0, c, n) for c in NUM_CLASSES], axis=1)
+    stats = compute_stage_metrics(preds, targets)
+    for m in ("AUC", "Recall", "Spec", "Prec"):
+        per_label = [stats[f"{m}_{c}"] for c in CLASSES_NAME]
+        np.testing.assert_allclose(stats[f"{m}_AVG"], np.mean(per_label))
+        # selected class is CLS_WEIGHTS[i]
+        from sm3x.metrics import METRIC_FNS
+        i = 0
+        want = METRIC_FNS[m](preds[i], targets[:, i], NUM_CLASSES[i])[CLS_WEIGHTS[i]]
+        np.testing.assert_allclose(stats[f"{m}_{CLASSES_NAME[i]}"], want)
+
+
+def test_results_table_layout(rng_np):
+    n = 40
+    preds = [rng_np.normal(size=(n, c)).astype(np.float32) for c in NUM_CLASSES]
+    targets = np.stack([rng_np.integers(0, c, n) for c in NUM_CLASSES], axis=1)
+    header, rows = results_table(preds, targets)
+    # 24 per-class columns + 5 aggregates, rows Acc..Prec
+    assert len(header) == 24 + 5
+    assert header[0] == "BWV-1" and header[18] == "VS-3" and header[23] == "DIAG-5"
+    assert header[-5:] == ["8 all avg", "8 avg", "7 all avg", "7 avg", "DIAG avg"]
+    assert set(rows) == {"Acc", "AUC", "Recall", "Spec", "Prec"}
+    # released CSVs have Acc == Recall per class
+    np.testing.assert_allclose(rows["Acc"], rows["Recall"])
+    # aggregate definitions
+    acc = rows["AUC"]
+    np.testing.assert_allclose(acc[24], np.mean(acc[:24]))
+    np.testing.assert_allclose(acc[26], np.mean(acc[:19]))
+    np.testing.assert_allclose(acc[28], np.mean(acc[19:24]))
