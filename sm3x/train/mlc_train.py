@@ -1,0 +1,225 @@
+"""Stage-2 DeepCluster MLC training (reference tools/mlc_train.py).
+
+TPU re-design of the stateful DeepCluster loop (SURVEY §7 hard parts):
+* the full-dataset embedding memory bank is a device-resident
+  (heads, N, proj_dim) array carried through the jitted train step and
+  updated in-place with donated buffers (mlc_train.py:269-274);
+* the per-epoch spherical k-means is a jitted lax.fori_loop over MXU
+  matmuls (sm3x.ops.kmeans) — no rank-0 gather/broadcast: the same
+  deterministic program runs replicated, so every chip already has the
+  centroids (vs. dist.gather/broadcast in mlc_train.py:137-186);
+* centroids are written straight into the prototype kernels
+  (prototypes.weight.copy_() at :187 becomes a functional param update).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sm3x import NUM_CLASSES
+from sm3x.core import prng
+from sm3x.core.mesh import make_mesh, replicate, shard_batch
+from sm3x.core.precision import policy_for
+from sm3x.losses import cluster_ce
+from sm3x.models.mlc import MLCModel
+from sm3x.ops.augment import MLC_TRAIN_AUG, ssl_augment_batch
+from sm3x.ops.kmeans import spherical_kmeans
+from sm3x.train import common
+from sm3x.utils import AverageMeter, setup_logger, save_checkpoint
+
+
+def make_mlc_train_step(model, temperature: float, mean, std, aug_cfg,
+                        finetune_backbone: bool):
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(state, bank, derm, derm_hw, clinic, clinic_hw,
+                   index, assignments, rng):
+        kd, kc, kdrop = jax.random.split(rng, 3)
+        d = ssl_augment_batch(kd, derm, derm_hw, mean, std, aug_cfg)
+        c = ssl_augment_batch(kc, clinic, clinic_hw, mean, std, aug_cfg)
+
+        def loss_fn(params):
+            (sa, preds), mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                d, c,
+                extractor_train=finetune_backbone,
+                head_train=True,
+                stop_extractor_grad=not finetune_backbone,
+                mutable=["batch_stats"],
+                rngs={"dropout": kdrop},
+            )
+            losses = [
+                cluster_ce(preds[i], assignments[i, index], temperature)
+                for i in range(len(preds))
+            ]
+            loss = jnp.mean(jnp.stack(losses))
+            return loss, (mut["batch_stats"], sa)
+
+        (loss, (new_stats, sa)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        # memory-bank slot update (mlc_train.py:269-274)
+        bank = bank.at[:, index].set(jax.lax.stop_gradient(sa))
+        return state, bank, loss
+
+    return train_step
+
+
+def make_embed_step(model, mean, std, aug_cfg):
+    """init_memory pass (mlc_train.py:92-113): train-mode modules (the
+    reference never switches to eval before the init pass), no gradient."""
+
+    @jax.jit
+    def embed(params, batch_stats, derm, derm_hw, clinic, clinic_hw, rng):
+        kd, kc, kdrop = jax.random.split(rng, 3)
+        d = ssl_augment_batch(kd, derm, derm_hw, mean, std, aug_cfg)
+        c = ssl_augment_batch(kc, clinic, clinic_hw, mean, std, aug_cfg)
+        (sa, _), mut = model.apply(
+            {"params": params, "batch_stats": batch_stats}, d, c,
+            extractor_train=True, head_train=True, stop_extractor_grad=True,
+            mutable=["batch_stats"], rngs={"dropout": kdrop},
+        )
+        return sa, mut["batch_stats"]
+
+    return embed
+
+
+def cluster_and_update(rng, bank, params, num_classes=tuple(NUM_CLASSES),
+                       iters: int = 10):
+    """Per-head spherical k-means; write centroids into prototype kernels
+    and return assignments (heads, N) int32."""
+    n_heads = bank.shape[0]
+    assignments = []
+    protos = dict(params["head"]["prototypes"])
+    for i, k in enumerate(num_classes):
+        cent, a = spherical_kmeans(
+            jax.random.fold_in(rng, i), bank[i % n_heads], k, iters)
+        protos[f"proto{i}"] = dict(protos[f"proto{i}"], kernel=cent.T)
+        assignments.append(a)
+    head = dict(params["head"], prototypes=protos)
+    params = dict(params, head=head)
+    return params, jnp.stack(assignments)
+
+
+class MLCTrainer:
+    """Owns the DeepCluster loop (reference main, mlc_train.py:288-442)."""
+
+    def __init__(self, cfg, mesh=None, logger=None, extractor_tree=None):
+        self.cfg = cfg
+        self.mesh = mesh or make_mesh(model=cfg.run.mesh_model)
+        self.logger = logger or setup_logger(cfg.run.log_path, "sm3x.mlc")
+        m = cfg.model
+        self.policy = policy_for(cfg.optim.amp)
+        self.model = MLCModel(
+            arch=m.arch, proj_dim=m.mlc_proj_dim, num_labels=m.num_labels,
+            mlc_proj=m.mlc_proj, l2_norm=m.l2_norm, n_heads=m.num_heads,
+            sa_dim_ff=m.sa_dim_ff, sa_dropout=m.sa_dropout,
+            use_prototype_bias=False, num_classes=tuple(m.num_classes),
+            dtype=self.policy.compute_dtype,
+        )
+        self.rng = prng.root_key(cfg.run.seed)
+        img = (2, cfg.data.img_sz[0], cfg.data.img_sz[1], 3)
+        dummy = jnp.zeros(img, jnp.float32)
+        variables = self.model.init(
+            {"params": jax.random.fold_in(self.rng, 0), "dropout": self.rng},
+            dummy, dummy, extractor_train=False, head_train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+
+        # stage-1 weight import: full state then null projectors
+        # (mlc_train.py:341-346) == keep only the encoders
+        if extractor_tree is not None:
+            ep, es = extractor_tree
+            for mod in ("derm_backbone", "clinic_backbone"):
+                params["extractor"][mod]["encoder"] = ep[mod]["encoder"]
+                batch_stats["extractor"][mod]["encoder"] = es[mod]["encoder"]
+
+        mask = common.path_mask(
+            params, lambda p: common.mlc_train_trainable(p, m.finetune_backbone))
+        tx = common.make_adamw(cfg.optim.base_lr, cfg.optim.wd, mask_tree=mask)
+        self.state = common.create_train_state(
+            self.model, {"params": params, "batch_stats": batch_stats}, tx)
+        self.state = self.state.replace(
+            params=replicate(self.mesh, self.state.params),
+            batch_stats=replicate(self.mesh, self.state.batch_stats),
+            opt_state=replicate(self.mesh, self.state.opt_state),
+        )
+
+        aug_cfg = dataclasses.replace(MLC_TRAIN_AUG, out_size=tuple(cfg.data.img_sz))
+        self.train_step = make_mlc_train_step(
+            self.model, m.temperature, tuple(cfg.data.mean), tuple(cfg.data.std),
+            aug_cfg, m.finetune_backbone)
+        self.embed_step = make_embed_step(
+            self.model, tuple(cfg.data.mean), tuple(cfg.data.std), aug_cfg)
+        self.bank = None
+
+    def init_memory(self, data):
+        cfg = self.cfg
+        n = data.n
+        bank = np.zeros((cfg.model.num_labels, n, cfg.model.mlc_proj_dim),
+                        np.float32)
+        bs = cfg.optim.batch_size
+        stats = self.state.batch_stats
+        for it, batch in enumerate(data.batches(bs, epoch=0, seed=cfg.run.seed)):
+            rng = prng.step_rng(jax.random.fold_in(self.rng, 999), 0, it)
+            db = shard_batch(self.mesh, {
+                "derm": batch.derm, "derm_hw": batch.derm_hw,
+                "clinic": batch.clinic, "clinic_hw": batch.clinic_hw})
+            sa, stats = self.embed_step(
+                self.state.params, stats, db["derm"], db["derm_hw"],
+                db["clinic"], db["clinic_hw"], rng)
+            bank[:, batch.index] = np.asarray(sa)[:, :]
+        self.state = self.state.replace(batch_stats=stats)
+        self.bank = replicate(self.mesh, jnp.asarray(bank))
+        self.logger.info("Initializion of the memory banks done.")
+
+    def train_epoch(self, data, epoch: int) -> dict:
+        cfg = self.cfg
+        # epoch-boundary clustering (mlc_train.py:219-229)
+        params, assignments = cluster_and_update(
+            prng.fold_in_axis(jax.random.fold_in(self.rng, epoch), "kmeans"),
+            self.bank, jax.device_get(self.state.params),
+            tuple(cfg.model.num_classes), cfg.kmeans_iters)
+        self.state = self.state.replace(params=replicate(self.mesh, params))
+        assignments = replicate(self.mesh, assignments)
+        self.logger.info(f"Clustering for epoch {epoch} done.")
+
+        losses = AverageMeter("Loss", ":.4f")
+        for it, batch in enumerate(
+                data.batches(cfg.optim.batch_size, epoch, cfg.run.seed)):
+            rng = prng.step_rng(self.rng, epoch, it)
+            db = shard_batch(self.mesh, {
+                "derm": batch.derm, "derm_hw": batch.derm_hw,
+                "clinic": batch.clinic, "clinic_hw": batch.clinic_hw})
+            idx = replicate(self.mesh, jnp.asarray(batch.index))
+            self.state, self.bank, loss = self.train_step(
+                self.state, self.bank, db["derm"], db["derm_hw"],
+                db["clinic"], db["clinic_hw"], idx, assignments, rng)
+            losses.update(float(loss), batch.derm.shape[0])
+        return {"loss": losses.avg}
+
+    def fit(self, data):
+        import os
+
+        cfg = self.cfg
+        if self.bank is None:
+            self.init_memory(data)
+        for epoch in range(cfg.optim.epochs):
+            t0 = time.time()
+            stat = self.train_epoch(data, epoch)
+            self.logger.info(
+                f"Epoch {epoch}: loss {stat['loss']:.4f} "
+                f"({(time.time() - t0) / 60:.2f} min)")
+            if (epoch + 1) % cfg.run.save_freq == 0 or (epoch + 1) == cfg.optim.epochs:
+                save_checkpoint(
+                    os.path.join(cfg.run.log_path, f"ckp_{epoch}.msgpack"),
+                    {"epoch": epoch + 1,
+                     "params": self.state.params,
+                     "batch_stats": self.state.batch_stats})
+        return self.state

@@ -1,0 +1,120 @@
+"""Stage-2 DeepCluster + supervised eval trainers on a synthetic dataset."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sm3x.core.config import (
+    MLCTrainConfig, EvalConfig, DataConfig, ModelConfig, OptimConfig, RunConfig,
+)
+from sm3x.data.synthetic import make_fake_derm7pt
+from sm3x.data.derm7pt import Derm7ptMeta
+from sm3x.data.pipeline import PairedImageData
+
+
+@pytest.fixture(scope="module")
+def fake_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("7pc2")
+    make_fake_derm7pt(str(root), n_cases=16, img_size=72)
+    meta = Derm7ptMeta(str(root))
+    train = PairedImageData.from_meta(meta, "train", cache_size=64)
+    test = PairedImageData.from_meta(meta, "test", cache_size=64)
+    return train, test
+
+
+def _model_cfg(**kw):
+    base = dict(arch="resnet18", mlc_proj="v4", mlc_proj_dim=32,
+                num_heads=1, sa_dim_ff=16, sa_dropout=0.1)
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def test_mlc_deepcluster_epoch(fake_data, tmp_path):
+    from sm3x.train.mlc_train import MLCTrainer
+
+    train, _ = fake_data
+    cfg = MLCTrainConfig(
+        data=DataConfig(img_sz=(48, 48)),
+        model=_model_cfg(temperature=1.0),
+        optim=OptimConfig(epochs=1, batch_size=8, base_lr=1e-3, amp=False),
+        run=RunConfig(log_path=str(tmp_path), seed=0, save_freq=100),
+        kmeans_iters=3,
+    )
+    trainer = MLCTrainer(cfg)
+    trainer.init_memory(train)
+    assert trainer.bank.shape == (8, train.n, 32)
+    assert np.isfinite(np.asarray(trainer.bank)).all()
+
+    stat = trainer.train_epoch(train, epoch=0)
+    assert np.isfinite(stat["loss"])
+    # prototype kernels were overwritten by unit-norm centroids
+    protos = jax.device_get(trainer.state.params)["head"]["prototypes"]
+    for i, k in enumerate([5, 3, 2, 3, 3, 3, 3, 2]):
+        kern = protos[f"proto{i}"]["kernel"]  # (D, K)
+        assert kern.shape == (32, k)
+        # centroids are unit-norm at the epoch boundary; the epoch's
+        # gradient steps then nudge them (same drift as the reference)
+        np.testing.assert_allclose(np.linalg.norm(kern, axis=0), 1.0, atol=0.05)
+    # frozen extractor must not move
+    ext0 = jax.device_get(trainer.state.params)["extractor"]
+    stat = trainer.train_epoch(train, epoch=1)
+    ext1 = jax.device_get(trainer.state.params)["extractor"]
+    leaves0 = jax.tree.leaves(ext0)
+    leaves1 = jax.tree.leaves(ext1)
+    assert all(np.array_equal(a, b) for a, b in zip(leaves0, leaves1))
+
+
+def test_mlc_eval_freeze_fc(fake_data, tmp_path):
+    from sm3x.train.mlc_eval import MLCEvalTrainer
+    from sm3x.train.supervised import run_train_epoch, run_eval_epoch
+
+    train, test = fake_data
+    cfg = EvalConfig(
+        data=DataConfig(img_sz=(48, 48)),
+        model=_model_cfg(finetune="fc"),
+        optim=OptimConfig(epochs=1, batch_size=8, base_lr=1e-2, amp=False),
+        run=RunConfig(log_path=str(tmp_path), seed=0),
+        train_sz=48, test_sz=48,
+    )
+    trainer = MLCEvalTrainer(cfg)
+    p0 = jax.device_get(trainer.state.params)
+    tr = run_train_epoch(trainer, train, 0)
+    va = run_eval_epoch(trainer, test, 0)
+    p1 = jax.device_get(trainer.state.params)
+    assert "AUC_AVG" in va and np.isfinite(tr["loss"])
+    # extractor + projectors + sa frozen; prototypes moved
+    for key in ("extractor",):
+        a = jax.tree.leaves(p0[key])
+        b = jax.tree.leaves(p1[key])
+        assert all(np.array_equal(x, y) for x, y in zip(a, b))
+    a = jax.tree.leaves(p0["head"]["projectors"])
+    b = jax.tree.leaves(p1["head"]["projectors"])
+    assert all(np.array_equal(x, y) for x, y in zip(a, b))
+    a = jax.tree.leaves(p0["head"]["prototypes"])
+    b = jax.tree.leaves(p1["head"]["prototypes"])
+    assert any(not np.array_equal(x, y) for x, y in zip(a, b))
+
+
+def test_backbone_eval_freeze_fc(fake_data, tmp_path):
+    from sm3x.train.backbone_eval import BackboneEvalTrainer
+    from sm3x.train.supervised import run_train_epoch
+
+    train, _ = fake_data
+    cfg = EvalConfig(
+        data=DataConfig(img_sz=(48, 48)),
+        model=_model_cfg(finetune="fc"),
+        optim=OptimConfig(epochs=1, batch_size=8, base_lr=1e-2, amp=False),
+        run=RunConfig(log_path=str(tmp_path), seed=0),
+    )
+    trainer = BackboneEvalTrainer(cfg)
+    p0 = jax.device_get(trainer.state.params)
+    run_train_epoch(trainer, train, 0)
+    p1 = jax.device_get(trainer.state.params)
+    a = jax.tree.leaves(p0["derm_backbone"])
+    b = jax.tree.leaves(p1["derm_backbone"])
+    assert all(np.array_equal(x, y) for x, y in zip(a, b))
+    a = jax.tree.leaves(p0["classifier"])
+    b = jax.tree.leaves(p1["classifier"])
+    assert any(not np.array_equal(x, y) for x, y in zip(a, b))
