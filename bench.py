@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Headline benchmark: stage-1 SSL pretrain throughput on one TPU chip.
+
+Measures the FULL reference recipe step (run.sh:3-12: dual ResNet-50,
+224x224, 2 views per modality, 3-way NT-Xent, AdamW, bf16) including the
+on-device fused augmentation — i.e. everything after the uint8 canvas
+upload — and reports images/sec/chip, counting every augmented 224x224
+image pushed through an encoder (4 per paired sample per step).
+
+vs_baseline: the PyTorch reference publishes no throughput (SURVEY §6).
+BASELINE.json's target is >=10x the reference's images/sec/chip; we
+anchor the denominator at 1000 img/s/chip — an A100-class fp16 DDP
+per-GPU figure for this dual-ResNet-50 SimCLR step (torchvision ResNet-50
+train throughput references), i.e. an intentionally generous stand-in
+for the reference's unspecified GPUs.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_IMG_PER_SEC_PER_CHIP = 1000.0
+
+
+def main():
+    import jax
+
+    from sm3x.core.config import SSLConfig, DataConfig, ModelConfig, OptimConfig, RunConfig
+    from sm3x.core.mesh import make_mesh, shard_batch
+    from sm3x.core import prng
+    from sm3x.data.synthetic import synthetic_canvas_batch
+    from sm3x.train.backbone_train import SSLTrainer
+
+    n_chips = len(jax.devices())
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+
+    cfg = SSLConfig(
+        data=DataConfig(img_sz=(224, 224), cache_size=320),
+        model=ModelConfig(arch="resnet50", arch_version="v32", proj_dim=128,
+                          temperature=0.1),
+        optim=OptimConfig(epochs=1, batch_size=batch, base_lr=1e-6, amp=True),
+        run=RunConfig(log_path="/tmp/sm3x_bench", seed=0),
+    )
+    trainer = SSLTrainer(cfg)
+    canvases, hw, _ = synthetic_canvas_batch(batch, canvas=320, seed=0)
+    db = shard_batch(trainer.mesh, {
+        "derm": canvases, "derm_hw": hw, "clinic": canvases, "clinic_hw": hw})
+
+    def step(i):
+        rng = prng.step_rng(trainer.rng, 0, i)
+        state, metrics = trainer.train_step(
+            trainer.state, db["derm"], db["derm_hw"],
+            db["clinic"], db["clinic_hw"], rng)
+        trainer.state = state
+        return metrics
+
+    # warmup / compile
+    m = step(0)
+    jax.block_until_ready(m["loss"])
+    m = step(1)
+    jax.block_until_ready(m["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        m = step(i + 2)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    # 4 augmented 224x224 encoder images per paired sample per step
+    images = 4 * batch * steps
+    img_per_sec_chip = images / dt / n_chips
+    print(json.dumps({
+        "metric": "ssl_pretrain_images_per_sec_per_chip",
+        "value": round(img_per_sec_chip, 2),
+        "unit": "images/sec/chip (224x224 through ResNet-50 fwd+bwd, incl. on-device aug)",
+        "vs_baseline": round(img_per_sec_chip / BASELINE_IMG_PER_SEC_PER_CHIP, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -39,8 +39,8 @@ class BackboneEvalTrainer:
         )
         self.rng = prng.root_key(cfg.run.seed)
         dummy = jnp.zeros((2, cfg.data.img_sz[0], cfg.data.img_sz[1], 3), jnp.float32)
-        variables = self.model.init(
-            jax.random.fold_in(self.rng, 0), dummy, dummy, train=False)
+        variables = jax.jit(lambda r: self.model.init(
+            r, dummy, dummy, train=False))(jax.random.fold_in(self.rng, 0))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
 

@@ -84,11 +84,14 @@ class SSLTrainer:
             self.groups = 1
 
         self.rng = prng.root_key(cfg.run.seed)
-        img = (cfg.optim.batch_size, cfg.data.img_sz[0], cfg.data.img_sz[1], 3)
+        img = (2, cfg.data.img_sz[0], cfg.data.img_sz[1], 3)
         init_rng = jax.random.fold_in(self.rng, 0)
         dummy = jnp.zeros(img, jnp.float32)
-        variables = self.model.init(init_rng, (dummy, dummy), (dummy, dummy),
-                                    train=False)
+        # jit the init: un-jitted flax init dispatches op-by-op (minutes
+        # over a tunneled TPU); jitted it is one compile
+        variables = jax.jit(
+            lambda r: self.model.init(r, (dummy, dummy), (dummy, dummy),
+                                      train=False))(init_rng)
         tx = common.make_adamw(cfg.optim.base_lr, cfg.optim.wd,
                                eps=cfg.optim.adam_eps)
         self.state = common.create_train_state(self.model, variables, tx)

@@ -44,9 +44,9 @@ class MLCEvalTrainer:
         )
         self.rng = prng.root_key(cfg.run.seed)
         dummy = jnp.zeros((2, cfg.data.img_sz[0], cfg.data.img_sz[1], 3), jnp.float32)
-        variables = self.model.init(
-            {"params": jax.random.fold_in(self.rng, 0), "dropout": self.rng},
-            dummy, dummy)
+        variables = jax.jit(lambda r: self.model.init(
+            {"params": r, "dropout": self.rng}, dummy, dummy))(
+                jax.random.fold_in(self.rng, 0))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
 
@@ -58,9 +58,9 @@ class MLCEvalTrainer:
             batch_stats = _graft(batch_stats, ps, self.logger)
         if m.init_prototype:
             # fresh prototype heads (mlc_eval.py:369-372)
-            fresh = self.model.init(
-                {"params": jax.random.fold_in(self.rng, 1), "dropout": self.rng},
-                dummy, dummy)["params"]["head"]["prototypes"]
+            fresh = jax.jit(lambda r: self.model.init(
+                {"params": r, "dropout": self.rng}, dummy, dummy))(
+                    jax.random.fold_in(self.rng, 1))["params"]["head"]["prototypes"]
             params["head"]["prototypes"] = fresh
 
         mask = common.path_mask(

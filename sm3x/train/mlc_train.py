@@ -126,9 +126,10 @@ class MLCTrainer:
         self.rng = prng.root_key(cfg.run.seed)
         img = (2, cfg.data.img_sz[0], cfg.data.img_sz[1], 3)
         dummy = jnp.zeros(img, jnp.float32)
-        variables = self.model.init(
-            {"params": jax.random.fold_in(self.rng, 0), "dropout": self.rng},
-            dummy, dummy, extractor_train=False, head_train=False)
+        variables = jax.jit(lambda r: self.model.init(
+            {"params": r, "dropout": self.rng},
+            dummy, dummy, extractor_train=False, head_train=False))(
+                jax.random.fold_in(self.rng, 0))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
 
