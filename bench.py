@@ -29,6 +29,10 @@ BASELINE_IMG_PER_SEC_PER_CHIP = 1000.0
 def main():
     import jax
 
+    from sm3x.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from sm3x.core.config import SSLConfig, DataConfig, ModelConfig, OptimConfig, RunConfig
     from sm3x.core.mesh import make_mesh, shard_batch
     from sm3x.core import prng

@@ -82,7 +82,7 @@ def _pallas_fwd(z, temperature, b, interpret):
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         interpret=interpret,
     )(z)[0, 0]
@@ -97,10 +97,10 @@ def _pallas_bwd(z, g, temperature, b, interpret):
         kern,
         out_shape=jax.ShapeDtypeStruct(z.shape, jnp.float32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
         interpret=interpret,
     )(z, g.reshape(1, 1))
 

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from sm3x.core import prng
+from sm3x.core.cache import enable_compilation_cache
 from sm3x.core.mesh import make_mesh, replicate
 from sm3x.core.precision import policy_for
 from sm3x.models.baseline import Baseline
@@ -28,6 +29,7 @@ from sm3x.metrics import write_results_csv
 
 class BackboneEvalTrainer:
     def __init__(self, cfg, mesh=None, logger=None, encoder_tree=None):
+        enable_compilation_cache()
         self.cfg = cfg
         self.mesh = mesh or make_mesh(model=cfg.run.mesh_model)
         self.logger = logger or setup_logger(cfg.run.log_path, "sm3x.backbone_eval")

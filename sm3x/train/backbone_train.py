@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sm3x.core import prng
+from sm3x.core.cache import enable_compilation_cache
 from sm3x.core.mesh import make_mesh, shard_batch, replicate
 from sm3x.losses.ssl import ssl_loss
 from sm3x.models.simclr import build_ssl_model
@@ -65,6 +66,7 @@ class SSLTrainer:
     backbone_train.py:429-608)."""
 
     def __init__(self, cfg, mesh=None, logger=None):
+        enable_compilation_cache()
         self.cfg = cfg
         self.mesh = mesh or make_mesh(model=cfg.run.mesh_model)
         self.logger = logger or setup_logger(cfg.run.log_path, "sm3x.ssl")

@@ -14,6 +14,7 @@ import numpy as np
 
 from sm3x import METRICS_NAME, CLASSES_NAME
 from sm3x.core import prng
+from sm3x.core.cache import enable_compilation_cache
 from sm3x.core.mesh import make_mesh, replicate
 from sm3x.core.precision import policy_for
 from sm3x.models.mlc import MLCModel
@@ -30,6 +31,7 @@ from sm3x.metrics import write_results_csv
 
 class MLCEvalTrainer:
     def __init__(self, cfg, mesh=None, logger=None, pretrained_tree=None):
+        enable_compilation_cache()
         self.cfg = cfg
         self.mesh = mesh or make_mesh(model=cfg.run.mesh_model)
         self.logger = logger or setup_logger(cfg.run.log_path, "sm3x.mlc_eval")

@@ -25,6 +25,7 @@ import numpy as np
 
 from sm3x import NUM_CLASSES
 from sm3x.core import prng
+from sm3x.core.cache import enable_compilation_cache
 from sm3x.core.mesh import make_mesh, replicate, shard_batch
 from sm3x.core.precision import policy_for
 from sm3x.losses import cluster_ce
@@ -111,6 +112,7 @@ class MLCTrainer:
     """Owns the DeepCluster loop (reference main, mlc_train.py:288-442)."""
 
     def __init__(self, cfg, mesh=None, logger=None, extractor_tree=None):
+        enable_compilation_cache()
         self.cfg = cfg
         self.mesh = mesh or make_mesh(model=cfg.run.mesh_model)
         self.logger = logger or setup_logger(cfg.run.log_path, "sm3x.mlc")
