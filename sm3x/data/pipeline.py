@@ -49,19 +49,37 @@ def letterbox(img: np.ndarray, size: int) -> Tuple[np.ndarray, Tuple[int, int]]:
 
 
 class ImageStore:
-    """Decode-once uint8 canvas cache for a list of image paths."""
+    """Decode-once uint8 canvas cache for a list of image paths.
+
+    JPEGs go through the native multi-threaded libjpeg loader
+    (sm3x/native/loader.cpp); anything it can't handle (PNG, missing
+    toolchain) falls back to the OpenCV path per file."""
 
     def __init__(self, paths: Sequence[str], cache_size: int = 320,
-                 crop_amount: int = 25, workers: int = 8):
+                 crop_amount: int = 25, workers: int = 8,
+                 use_native: bool = True):
         self.cache_size = cache_size
         self.crop_amount = crop_amount
         n = len(paths)
         self.canvases = np.zeros((n, cache_size, cache_size, 3), dtype=np.uint8)
         self.valid_hw = np.zeros((n, 2), dtype=np.int32)
 
-        def load(i_path):
-            i, path = i_path
-            img = decode_image(path)[:, :, :3]
+        todo = list(range(n))
+        if use_native and n:
+            try:
+                from sm3x.native.loader import decode_letterbox_batch
+
+                canv, hw, ok = decode_letterbox_batch(
+                    list(paths), cache_size, crop_amount, workers)
+                done = np.nonzero(ok)[0]
+                self.canvases[done] = canv[done]
+                self.valid_hw[done] = hw[done]
+                todo = [i for i in range(n) if not ok[i]]
+            except Exception:
+                todo = list(range(n))
+
+        def load(i):
+            img = decode_image(paths[i])[:, :, :3]
             ca = self.crop_amount
             if ca > 0:
                 img = img[ca:-ca, ca:-ca]
@@ -69,8 +87,9 @@ class ImageStore:
             self.canvases[i] = canvas
             self.valid_hw[i] = (h, w)
 
-        with cf.ThreadPoolExecutor(max_workers=workers) as ex:
-            list(ex.map(load, enumerate(paths)))
+        if todo:
+            with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+                list(ex.map(load, todo))
 
 
 @dataclasses.dataclass
