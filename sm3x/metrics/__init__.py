@@ -116,16 +116,21 @@ METRIC_FNS = {
 
 
 def compute_stage_metrics(preds_list: Sequence[np.ndarray],
-                          targets: np.ndarray) -> Dict[str, float]:
+                          targets: np.ndarray,
+                          num_classes: Sequence[int] = tuple(NUM_CLASSES),
+                          cls_weights: Sequence[int] = tuple(CLS_WEIGHTS),
+                          classes_name: Sequence[str] = tuple(CLASSES_NAME),
+                          ) -> Dict[str, float]:
     """The update_meters computation (misc.py:299-327): per label, compute
-    the per-class metric and select index CLS_WEIGHTS[label]; AVG = mean
-    over the 8 labels. Returns {"AUC_DIAG": ..., "AUC_AVG": ..., ...}."""
+    the per-class metric and select index cls_weights[label]; AVG = mean
+    over the labels. Returns {"AUC_DIAG": ..., "AUC_AVG": ..., ...}."""
     stats: Dict[str, float] = {}
     for m in METRICS_NAME:
         fn = METRIC_FNS[m]
         vals = []
-        for i, cname in enumerate(CLASSES_NAME):
-            v = float(fn(preds_list[i], targets[:, i], NUM_CLASSES[i])[CLS_WEIGHTS[i]])
+        for i, cname in enumerate(classes_name):
+            sel = min(cls_weights[i], num_classes[i] - 1)
+            v = float(fn(preds_list[i], targets[:, i], num_classes[i])[sel])
             stats[f"{m}_{cname}"] = v
             vals.append(v)
         stats[f"{m}_AVG"] = float(np.mean(vals))

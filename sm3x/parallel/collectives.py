@@ -1,0 +1,49 @@
+"""Collective helpers over the named mesh.
+
+The reference's NCCL inventory (SURVEY §5 distributed backend): implicit
+DDP allreduce, SyncBN stats, gather/broadcast (k-means), barrier, and a
+padded variable-length all_gather (src/utils/misc.py:629-659). Under a
+data-sharded jit the first three fall out of GSPMD; the helpers here
+cover the explicit shard_map/pmap use cases and multi-host bring-up.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def distributed_initialize(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None):
+    """Multi-host bring-up (the reference's init_process_group analogue,
+    misc.py:390-415). On a single-host TPU slice this is a no-op — the
+    runtime already sees every local chip."""
+    if coordinator_address is None:
+        return
+    jax.distributed.initialize(coordinator_address, num_processes, process_id)
+
+
+def cross_replica_mean(x, axis_name: str = "data"):
+    """SyncBN-style statistic mean inside shard_map/pmap bodies."""
+    return jax.lax.pmean(x, axis_name)
+
+
+def all_gather_varlen(x, axis_name: str = "data", max_len: Optional[int] = None):
+    """Variable-length all_gather (misc.py:629-659 semantics) inside a
+    shard_map/pmap body: pad the leading dim to the cross-replica max,
+    gather, and return (gathered (W, max, ...), lengths (W,)) — callers
+    slice per-shard rows with the lengths. Static shapes are required
+    under jit, so `max_len` must be given when shards can disagree at
+    trace time (the reference discovers it with a size all_gather at
+    runtime; XLA needs it statically)."""
+    n = x.shape[0]
+    if max_len is None:
+        max_len = n
+    pad = [(0, max_len - n)] + [(0, 0)] * (x.ndim - 1)
+    padded = jnp.pad(x, pad)
+    gathered = jax.lax.all_gather(padded, axis_name)
+    lengths = jax.lax.all_gather(jnp.asarray(n), axis_name)
+    return gathered, lengths
