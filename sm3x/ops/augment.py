@@ -317,6 +317,28 @@ def supervised_augment_batch(rng, canvases, valid_hw, mean, std, cfg: AugConfig 
     return ssl_augment_batch(rng, canvases, valid_hw, mean, std, cfg)
 
 
+def multicrop_augment_batch(rng, canvases, valid_hw, mean, std,
+                            size_crops=(224, 96), nmb_crops=(2, 6),
+                            min_scale_crops=(0.5, 0.14),
+                            max_scale_crops=(1.0, 0.5),
+                            base_cfg: AugConfig = SSL_AUG):
+    """SwAV-style multi-crop (reference SevenPCSwavDataset,
+    datasets.py:608-679): nmb_crops[i] views at resolution size_crops[i]
+    with per-resolution RRC scale ranges. Returns a list of augmented
+    view batches grouped by resolution."""
+    views = []
+    idx = 0
+    for size, n, lo, hi in zip(size_crops, nmb_crops, min_scale_crops,
+                               max_scale_crops):
+        cfg = dataclasses.replace(
+            base_cfg, out_size=(size, size), rrc_scale=(lo, hi))
+        for _ in range(n):
+            k = jax.random.fold_in(rng, idx)
+            views.append(ssl_augment_batch(k, canvases, valid_hw, mean, std, cfg))
+            idx += 1
+    return views
+
+
 @partial(jax.jit, static_argnames=("out_size",))
 def eval_resize_batch(canvases, valid_hw, mean, std, out_size=(224, 224)):
     """Deterministic eval path: Resize(out) + Normalize (mlc_eval.py:302-308).

@@ -23,6 +23,7 @@ from sm3x.train import common
 from sm3x.train.supervised import (
     make_supervised_steps, run_train_epoch, run_eval_epoch, collect_eval_logits,
 )
+from sm3x.utils.logging import StatWriter
 from sm3x.utils import BestRecorder, setup_logger, save_checkpoint
 from sm3x.metrics import write_results_csv
 
@@ -33,6 +34,8 @@ class BackboneEvalTrainer:
         self.cfg = cfg
         self.mesh = mesh or make_mesh(model=cfg.run.mesh_model)
         self.logger = logger or setup_logger(cfg.run.log_path, "sm3x.backbone_eval")
+        self.writer = StatWriter(cfg.run.log_path, cfg.run.tensorboard,
+                                 cfg.run.wandb, cfg.run.proj_name)
         m = cfg.model
         self.policy = policy_for(cfg.optim.amp)
         self.model = Baseline(
@@ -92,6 +95,8 @@ class BackboneEvalTrainer:
             t0 = time.time()
             tr = run_train_epoch(self, train_data, epoch)
             va = run_eval_epoch(self, val_data, epoch)
+            self.writer.log(tr, epoch, "train/")
+            self.writer.log(va, epoch, "val/")
             if va["AUC_AVG"] > best_auc:
                 best_auc = va["AUC_AVG"]
                 save_checkpoint(

@@ -25,6 +25,7 @@ from sm3x.losses.ssl import ssl_loss
 from sm3x.models.simclr import build_ssl_model
 from sm3x.ops.augment import SSL_AUG, ssl_augment_batch
 from sm3x.train import common
+from sm3x.utils.logging import StatWriter
 from sm3x.utils import AverageMeter, ProgressMeter, setup_logger, save_checkpoint
 
 
@@ -70,6 +71,8 @@ class SSLTrainer:
         self.cfg = cfg
         self.mesh = mesh or make_mesh(model=cfg.run.mesh_model)
         self.logger = logger or setup_logger(cfg.run.log_path, "sm3x.ssl")
+        self.writer = StatWriter(cfg.run.log_path, cfg.run.tensorboard,
+                                 cfg.run.wandb, cfg.run.proj_name)
         m = cfg.model
         from sm3x.core.precision import policy_for
 
@@ -150,6 +153,7 @@ class SSLTrainer:
         for epoch in range(self.start_epoch, cfg.optim.epochs):
             t0 = time.time()
             stat = self.train_epoch(data, epoch)
+            self.writer.log(stat, epoch, "ssl_train/")
             self.logger.info(
                 f"Epoch {epoch}: loss {stat['loss']:.4f} "
                 f"({(time.time() - t0) / 60:.2f} min)")

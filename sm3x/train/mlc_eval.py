@@ -23,6 +23,7 @@ from sm3x.train import common
 from sm3x.train.supervised import (
     make_supervised_steps, run_train_epoch, run_eval_epoch, collect_eval_logits,
 )
+from sm3x.utils.logging import StatWriter
 from sm3x.utils import (
     AverageMeter, BestRecorder, setup_logger, save_checkpoint, create_eval_stat,
 )
@@ -35,6 +36,8 @@ class MLCEvalTrainer:
         self.cfg = cfg
         self.mesh = mesh or make_mesh(model=cfg.run.mesh_model)
         self.logger = logger or setup_logger(cfg.run.log_path, "sm3x.mlc_eval")
+        self.writer = StatWriter(cfg.run.log_path, cfg.run.tensorboard,
+                                 cfg.run.wandb, cfg.run.proj_name)
         m = cfg.model
         self.policy = policy_for(cfg.optim.amp)
         self.model = MLCModel(
@@ -113,6 +116,8 @@ class MLCEvalTrainer:
             t0 = time.time()
             tr = run_train_epoch(self, train_data, epoch)
             va = run_eval_epoch(self, val_data, epoch)
+            self.writer.log(tr, epoch, "train/")
+            self.writer.log(va, epoch, "val/")
             for k, v in tr.items():
                 if f"train/{k}" in summary:
                     summary[f"train/{k}"].update(v)

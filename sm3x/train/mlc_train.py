@@ -33,6 +33,7 @@ from sm3x.models.mlc import MLCModel
 from sm3x.ops.augment import MLC_TRAIN_AUG, ssl_augment_batch
 from sm3x.ops.kmeans import spherical_kmeans
 from sm3x.train import common
+from sm3x.utils.logging import StatWriter
 from sm3x.utils import AverageMeter, setup_logger, save_checkpoint
 
 
@@ -116,6 +117,8 @@ class MLCTrainer:
         self.cfg = cfg
         self.mesh = mesh or make_mesh(model=cfg.run.mesh_model)
         self.logger = logger or setup_logger(cfg.run.log_path, "sm3x.mlc")
+        self.writer = StatWriter(cfg.run.log_path, cfg.run.tensorboard,
+                                 cfg.run.wandb, cfg.run.proj_name)
         m = cfg.model
         self.policy = policy_for(cfg.optim.amp)
         self.model = MLCModel(
@@ -216,6 +219,7 @@ class MLCTrainer:
         for epoch in range(cfg.optim.epochs):
             t0 = time.time()
             stat = self.train_epoch(data, epoch)
+            self.writer.log(stat, epoch, "ssl_train/")
             self.logger.info(
                 f"Epoch {epoch}: loss {stat['loss']:.4f} "
                 f"({(time.time() - t0) / 60:.2f} min)")
