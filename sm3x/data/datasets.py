@@ -24,8 +24,12 @@ def SevenPCBaseDataset(data_path: str, mode: str, cache_size: int = 320,
 # SevenPCBaseDataset2 (joint-tensor transform variant, datasets.py:573-605)
 # differs from SevenPCBaseDataset only in WHERE the transform is applied;
 # with on-device augmentation both collapse to the same data layout. The
-# alias keeps run.sh recipes working by name.
+# alias keeps run.sh recipes working by name. SevenPCSwavDataset
+# (multi-crop, datasets.py:608-707) likewise shares the canvas layout —
+# the multi-crop views are produced on device by
+# sm3x.ops.augment.multicrop_augment_batch.
 SevenPCBaseDataset2 = SevenPCBaseDataset
+SevenPCSwavDataset = SevenPCBaseDataset
 
 
 class SingleImageData:
@@ -79,6 +83,7 @@ def ISIC18Dataset(data_path: str, mode: str, cache_size: int = 320,
 REGISTRY = {
     "SevenPCBaseDataset": SevenPCBaseDataset,
     "SevenPCBaseDataset2": SevenPCBaseDataset2,
+    "SevenPCSwavDataset": SevenPCSwavDataset,
     "ISIC17Dataset": ISIC17Dataset,
     "ISIC18Dataset": ISIC18Dataset,
 }

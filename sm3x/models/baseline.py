@@ -89,6 +89,12 @@ class Baseline(nn.Module):
     bn_axis_name: Optional[str] = None
 
     def setup(self):
+        if self.arch.startswith("timm"):
+            # the reference escape-hatches to timm (baseline.py:72-76);
+            # the TPU build ships its own backbone registry instead
+            raise ValueError(
+                f"timm arch {self.arch!r} is not available in the TPU build; "
+                f"use one of {sorted(resnet_lib.FEAT_DIMS)}")
         self.derm_backbone = resnet_lib.build_resnet(
             self.arch, dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         self.clinic_backbone = resnet_lib.build_resnet(

@@ -62,6 +62,34 @@ class SimCLRBranch(nn.Module):
         return self.encoder(x, train)
 
 
+class SimCLR(nn.Module):
+    """Single-modality SimCLR (reference simclr.py:31-96): encoder +
+    projector; __call__ returns the reference's (logits, labels) pair
+    (positives-first layout) for API parity — training code should prefer
+    the fused loss on the projections."""
+
+    arch: str = "resnet50"
+    proj_dim: int = 128
+    temperature: float = 0.5
+    dtype: Any = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+    remat: bool = False
+
+    def setup(self):
+        self.branch = SimCLRBranch(self.arch, self.proj_dim, self.dtype,
+                                   self.bn_axis_name, self.remat)
+
+    def __call__(self, x1, x2, train: bool = True):
+        from sm3x.ops.ntxent import ntxent_logits
+
+        _, z = self.branch(x1, x2, train)
+        b = x1.shape[0]
+        return ntxent_logits(z[:b], z[b:], self.temperature)
+
+    def extract(self, imgs, train: bool = False):
+        return self.branch.extract(imgs, train)
+
+
 class SimCLRSkin(nn.Module):
     """Two independent branches, intra-modal losses only (simclr.py:99-115)."""
 

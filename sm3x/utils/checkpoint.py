@@ -28,9 +28,12 @@ def _to_host(tree):
 
 
 def save_checkpoint(path: str, tree: Dict[str, Any]):
-    """Atomic msgpack write of a host pytree."""
+    """Atomic msgpack write of a host pytree. Tuples/namedtuples (optax
+    states) pass through flax's state-dict form; restore structured
+    leaves with `restore_into` when a typed target is available."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    data = serialization.msgpack_serialize(_to_host(tree))
+    state = serialization.to_state_dict(_to_host(tree))
+    data = serialization.msgpack_serialize(state)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)
@@ -41,6 +44,12 @@ def save_checkpoint(path: str, tree: Dict[str, Any]):
 def load_checkpoint(path: str) -> Dict[str, Any]:
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
+
+
+def restore_into(target, state_dict):
+    """Rebuild a typed pytree (e.g. an optax state) from its state-dict
+    form, using `target` for structure."""
+    return serialization.from_state_dict(target, state_dict)
 
 
 def restart_from_checkpoint(path: str, logger=None) -> Optional[Dict[str, Any]]:

@@ -50,13 +50,19 @@ def main():
         trainer = SSLTrainer(cfg, logger=logger)
         if cfg.run.resume_path:
             from sm3x.utils import restart_from_checkpoint
+            from sm3x.utils.checkpoint import restore_into
 
             ckpt = restart_from_checkpoint(cfg.run.resume_path, logger)
             if ckpt is None:
                 sys.exit(1)
+            opt_state = trainer.state.opt_state
+            if "opt_state" in ckpt:
+                opt_state = restore_into(opt_state, ckpt["opt_state"])
             trainer.state = trainer.state.replace(
-                params=ckpt["params"], batch_stats=ckpt["batch_stats"],
-                opt_state=ckpt.get("opt_state", trainer.state.opt_state))
+                params=restore_into(trainer.state.params, ckpt["params"]),
+                batch_stats=restore_into(trainer.state.batch_stats,
+                                         ckpt["batch_stats"]),
+                opt_state=opt_state)
             trainer.start_epoch = int(ckpt.get("epoch", 0))
         trainer.fit(data)
     except Exception as e:
