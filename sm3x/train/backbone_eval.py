@@ -28,6 +28,22 @@ from sm3x.utils import BestRecorder, setup_logger, save_checkpoint
 from sm3x.metrics import write_results_csv
 
 
+
+
+def _device_wrap(data, mesh):
+    """HBM-resident dataset when it's a host PairedImageData (removes the
+    per-step host->device canvas upload; sm3x.data.device_data)."""
+    from sm3x.data.pipeline import PairedImageData
+    from sm3x.data.device_data import DeviceData
+
+    if isinstance(data, PairedImageData):
+        try:
+            return DeviceData(data, mesh)
+        except Exception:
+            return data
+    return data
+
+
 class BackboneEvalTrainer:
     def __init__(self, cfg, mesh=None, logger=None, encoder_tree=None):
         enable_compilation_cache()
@@ -90,6 +106,8 @@ class BackboneEvalTrainer:
 
     def fit(self, train_data, val_data):
         cfg = self.cfg
+        train_data = _device_wrap(train_data, self.mesh)
+        val_data = _device_wrap(val_data, self.mesh)
         best_auc = 0.0
         for epoch in range(cfg.optim.epochs):
             t0 = time.time()

@@ -62,6 +62,22 @@ def make_ssl_train_step(model, style: int, temperature: float, groups: int,
     return train_step
 
 
+
+
+def _device_wrap(data, mesh):
+    """HBM-resident dataset when it's a host PairedImageData (removes the
+    per-step host->device canvas upload; sm3x.data.device_data)."""
+    from sm3x.data.pipeline import PairedImageData
+    from sm3x.data.device_data import DeviceData
+
+    if isinstance(data, PairedImageData):
+        try:
+            return DeviceData(data, mesh)
+        except Exception:
+            return data
+    return data
+
+
 class SSLTrainer:
     """Owns mesh/model/state and the epoch loop (reference main,
     backbone_train.py:429-608)."""
@@ -149,6 +165,8 @@ class SSLTrainer:
     def fit(self, data):
         cfg = self.cfg
         import os
+
+        data = _device_wrap(data, self.mesh)
 
         for epoch in range(self.start_epoch, cfg.optim.epochs):
             t0 = time.time()

@@ -30,6 +30,22 @@ from sm3x.utils import (
 from sm3x.metrics import write_results_csv
 
 
+
+
+def _device_wrap(data, mesh):
+    """HBM-resident dataset when it's a host PairedImageData (removes the
+    per-step host->device canvas upload; sm3x.data.device_data)."""
+    from sm3x.data.pipeline import PairedImageData
+    from sm3x.data.device_data import DeviceData
+
+    if isinstance(data, PairedImageData):
+        try:
+            return DeviceData(data, mesh)
+        except Exception:
+            return data
+    return data
+
+
 class MLCEvalTrainer:
     def __init__(self, cfg, mesh=None, logger=None, pretrained_tree=None):
         enable_compilation_cache()
@@ -106,6 +122,8 @@ class MLCEvalTrainer:
 
     def fit(self, train_data, val_data):
         cfg = self.cfg
+        train_data = _device_wrap(train_data, self.mesh)
+        val_data = _device_wrap(val_data, self.mesh)
         summary = {}
         for prefix in ("train", "val"):
             summary.update(create_eval_stat(prefix, METRICS_NAME, CLASSES_NAME, "max"))

@@ -109,6 +109,22 @@ def cluster_and_update(rng, bank, params, num_classes=tuple(NUM_CLASSES),
     return params, jnp.stack(assignments)
 
 
+
+
+def _device_wrap(data, mesh):
+    """HBM-resident dataset when it's a host PairedImageData (removes the
+    per-step host->device canvas upload; sm3x.data.device_data)."""
+    from sm3x.data.pipeline import PairedImageData
+    from sm3x.data.device_data import DeviceData
+
+    if isinstance(data, PairedImageData):
+        try:
+            return DeviceData(data, mesh)
+        except Exception:
+            return data
+    return data
+
+
 class MLCTrainer:
     """Owns the DeepCluster loop (reference main, mlc_train.py:288-442)."""
 
@@ -214,6 +230,7 @@ class MLCTrainer:
         import os
 
         cfg = self.cfg
+        data = _device_wrap(data, self.mesh)
         if self.bank is None:
             self.init_memory(data)
         for epoch in range(cfg.optim.epochs):
