@@ -81,7 +81,9 @@ class ImageStore:
         def load(i):
             img = decode_image(paths[i])[:, :, :3]
             ca = self.crop_amount
-            if ca > 0:
+            # guard tiny images (same rule as the native loader): only
+            # crop when a non-empty interior remains
+            if ca > 0 and img.shape[0] > 2 * ca and img.shape[1] > 2 * ca:
                 img = img[ca:-ca, ca:-ca]
             canvas, (h, w) = letterbox(img, cache_size)
             self.canvases[i] = canvas

@@ -30,12 +30,12 @@ def dataset(tmp_path_factory):
     from sm3x.data.synthetic import make_fake_derm7pt
 
     root = tmp_path_factory.mktemp("cli7pc")
-    make_fake_derm7pt(str(root), n_cases=16, img_size=72)
+    make_fake_derm7pt(str(root), n_cases=12, img_size=56)
     return str(root)
 
 
 COMMON = ["--data-name", "SevenPCBaseDataset",
-          "--img-sz", "48", "48", "--cache-size", "64",
+          "--img-sz", "32", "32", "--cache-size", "48",
           "--mean", "0.78", "0.67", "0.60", "--std", "0.21", "0.25", "0.26",
           "-a", "resnet18", "--epochs", "1", "-b", "8", "--save-freq", "1"]
 
@@ -68,7 +68,7 @@ def test_full_cli_pipeline(dataset, tmp_path):
         "--mlc-proj", "v4", "--mlc-proj-dim", "32",
         "--num-heads", "1", "--sa-dim-ff", "16",
         "--pretrain-path", mlc_ckpt, "--finetune", "projector",
-        "--train-sz", "48", "--test-sz", "48", "-lr", "1e-3",
+        "--train-sz", "32", "--test-sz", "32", "-lr", "1e-3",
         "--log-path", eval_log], work)
     csv = os.path.join(eval_log, "results.csv")
     assert os.path.exists(csv)
