@@ -57,7 +57,7 @@ class SingleImageData:
             mask = np.ones(len(sel), dtype=bool)
             if len(sel) < batch_size:
                 padn = batch_size - len(sel)
-                sel = np.concatenate([sel, idx[:padn]])
+                sel = np.concatenate([sel, np.resize(idx, padn)])
                 mask = np.concatenate([mask, np.zeros(padn, dtype=bool)])
             yield (self.store.canvases[sel], self.store.valid_hw[sel],
                    self.labels[sel], sel.astype(np.int32), mask)

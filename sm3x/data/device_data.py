@@ -53,7 +53,8 @@ class DeviceData:
             mask = np.ones(len(sel), dtype=bool)
             if len(sel) < batch_size:
                 padn = batch_size - len(sel)
-                sel = np.concatenate([sel, order[:padn]])
+                # np.resize tiles when padn > n (tiny splits vs big batches)
+                sel = np.concatenate([sel, np.resize(order, padn)])
                 mask = np.concatenate([mask, np.zeros(padn, dtype=bool)])
             idx = replicate(self.mesh, jnp.asarray(sel, jnp.int32))
             derm, derm_hw = gather(self._derm, self._derm_hw, idx)

@@ -142,7 +142,8 @@ class PairedImageData:
             mask = np.ones(len(sel), dtype=bool)
             if len(sel) < batch_size:
                 padn = batch_size - len(sel)
-                sel = np.concatenate([sel, order[:padn]])
+                # np.resize tiles when padn > n (tiny splits vs big batches)
+                sel = np.concatenate([sel, np.resize(order, padn)])
                 mask = np.concatenate([mask, np.zeros(padn, dtype=bool)])
             yield Batch(
                 derm=self.derm.canvases[sel],
