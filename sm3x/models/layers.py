@@ -6,13 +6,14 @@ from __future__ import annotations
 
 from typing import Any, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
 
 class ConvWS(nn.Module):
     """Conv2d with weight standardization (zero-mean/unit-std kernel per
-    output channel), the JAX analogue of the reference's ConvWS2d."""
+    output channel) — the JAX analogue of the reference's ConvWS2d."""
 
     features: int
     kernel: Tuple[int, int] = (3, 3)
@@ -31,25 +32,56 @@ class ConvWS(nn.Module):
         )
         mean = jnp.mean(w, axis=(0, 1, 2), keepdims=True)
         std = jnp.std(w, axis=(0, 1, 2), keepdims=True)
-        w = (w - mean) / (std + self.eps)
-        y = jnp.asarray(
-            jnp.einsum(
-                "bhwi,hwio->bhwo",
-                jnp.pad(x, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0))),
-                w,
-            )
-            if self.strides == 1 and kh == 1 and kw == 1
-            else nn.Conv(
-                self.features, self.kernel, strides=self.strides,
-                padding=[(kh // 2, kh // 2), (kw // 2, kw // 2)],
-                use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-            ).apply({"params": {"kernel": w}}, x),
-            self.dtype,
+        w = ((w - mean) / (std + self.eps)).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w,
+            window_strides=(self.strides, self.strides),
+            padding=[(kh // 2, kh // 2), (kw // 2, kw // 2)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros_init(),
                            (self.features,), jnp.float32)
-            y = y + b
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class ConvAWS(nn.Module):
+    """Adaptive weight standardization (ConvAWS2d): learned per-channel
+    affine (gamma, beta) re-applied after standardization."""
+
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    strides: int = 1
+    use_bias: bool = True
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel
+        cin = x.shape[-1]
+        w = self.param(
+            "kernel", nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+            (kh, kw, cin, self.features), jnp.float32,
+        )
+        gamma = self.param("ws_gamma", nn.initializers.ones_init(),
+                           (1, 1, 1, self.features), jnp.float32)
+        beta = self.param("ws_beta", nn.initializers.zeros_init(),
+                          (1, 1, 1, self.features), jnp.float32)
+        mean = jnp.mean(w, axis=(0, 1, 2), keepdims=True)
+        std = jnp.std(w, axis=(0, 1, 2), keepdims=True)
+        w = ((w - mean) / (std + self.eps)) * gamma + beta
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype),
+            window_strides=(self.strides, self.strides),
+            padding=[(kh // 2, kh // 2), (kw // 2, kw // 2)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros_init(),
+                           (self.features,), jnp.float32)
+            y = y + b.astype(self.dtype)
         return y
 
 
