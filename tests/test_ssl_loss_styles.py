@@ -1,0 +1,80 @@
+"""Style-dependent SSL loss assembly (backbone_train.py:98-121 weighting)
+and the V2x model family forwards."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from sm3x.losses.ssl import ssl_loss
+from test_ntxent import torch_ntxent
+
+
+def _fake_outputs(rng, b=6, p=8):
+    def z(shape):
+        return rng.normal(size=shape).astype(np.float32)
+
+    return {
+        "derm_z": z((2 * b, p)),
+        "clinic_z": z((2 * b, p)),
+        "cross_derm_z": (z((b, p)), z((b, p))),
+        "cross_clinic_z": (z((b, p)), z((b, p))),
+    }
+
+
+def _nt(a, b, t=0.1):
+    return float(torch_ntxent(torch.tensor(a), torch.tensor(b), t)[1])
+
+
+@pytest.mark.parametrize("style", [0, 1, 2])
+def test_ssl_loss_style_weighting(rng_np, style):
+    outs = _fake_outputs(rng_np)
+    b = 6
+    total, parts = ssl_loss(
+        {k: jax.tree.map(jnp.asarray, v) for k, v in outs.items()},
+        style, temperature=0.1, groups=1)
+
+    derm = _nt(outs["derm_z"][:b], outs["derm_z"][b:])
+    clinic = _nt(outs["clinic_z"][:b], outs["clinic_z"][b:])
+    cd, cc = outs["cross_derm_z"], outs["cross_clinic_z"]
+    if style == 0:
+        cross = 0.5 * _nt(cd[0], cc[0]) + 0.5 * _nt(cd[1], cc[1])
+    elif style == 1:
+        cross = 0.5 * _nt(cd[0], cc[1]) + 0.5 * _nt(cd[1], cc[0])
+    else:
+        cross = 0.25 * (_nt(cd[0], cc[0]) + _nt(cd[0], cc[1])
+                        + _nt(cd[1], cc[0]) + _nt(cd[1], cc[1]))
+
+    np.testing.assert_allclose(float(parts["derm"]), derm, rtol=1e-4)
+    np.testing.assert_allclose(float(parts["clinic"]), clinic, rtol=1e-4)
+    np.testing.assert_allclose(float(parts["cross"]), cross, rtol=1e-4)
+    np.testing.assert_allclose(float(total), derm + clinic + cross, rtol=1e-4)
+
+
+@pytest.mark.parametrize("fusion,n_pairs", [
+    ("concat", 1), ("concat_cross", 1), ("concat_both", 2), ("add", 1),
+])
+def test_simclr_v2_family_forward(fusion, n_pairs):
+    from sm3x.models.simclr import SimCLRSkinV2
+
+    m = SimCLRSkinV2(arch="resnet18", proj_dim=8, fusion=fusion,
+                     dtype=jnp.float32)
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    variables = m.init(jax.random.key(0), (x, x), (x, x), train=False)
+    out = m.apply(variables, (x, x), (x, x), train=False)
+    assert out["derm_z"].shape == (4, 8)
+    assert len(out["cross_z"]) == n_pairs
+    assert out["cross_z"][0].shape == (4, 8)
+
+
+def test_simclr_single_modality_logits_api():
+    from sm3x.models.simclr import SimCLR
+
+    m = SimCLR(arch="resnet18", proj_dim=8, temperature=0.5, dtype=jnp.float32)
+    x = jnp.zeros((3, 32, 32, 3), jnp.float32)
+    variables = m.init(jax.random.key(0), x, x, train=False)
+    logits, labels = m.apply(variables, x, x, train=False)
+    assert logits.shape == (6, 5)  # (2B, 2B-1)
+    assert np.all(np.asarray(labels) == 0)
