@@ -237,6 +237,24 @@ class Derm7ptMeta:
         self.derm_paths = [os.path.join(self.dir_images, str(p)) for p in df["derm"]]
         self.clinic_paths = [os.path.join(self.dir_images, str(p)) for p in df["clinic"]]
 
+        # patient metadata (datasets.py:156-158 get_dict_labels: sorted
+        # unique strings -> codes). Third modality for the tri-modal
+        # stretch model (sm3x/models/trimodal.py).
+        self.meta_fields = ["elevation", "sex", "location"]
+        self.meta_vocabs = {}
+        codes = []
+        for field in self.meta_fields:
+            if field in df.columns:
+                names = sorted(set(str(v) for v in df[field]))
+                vocab = {n: i for i, n in enumerate(names)}
+                codes.append(np.asarray([vocab[str(v)] for v in df[field]],
+                                        dtype=np.int32))
+            else:
+                vocab = {"unknown": 0}
+                codes.append(np.zeros(len(df), dtype=np.int32))
+            self.meta_vocabs[field] = vocab
+        self.meta_codes = np.stack(codes, axis=1)  # (N, 3)
+
     def num_classes(self) -> List[int]:
         return [self.schema[a].n_classes for a in LABEL_ORD]
 

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from sm3x import NUM_CLASSES
-from sm3x.models import resnet as resnet_lib
+from sm3x.models import backbones as resnet_lib
 from sm3x.models.projector import torch_linear_init
 
 
@@ -92,12 +92,15 @@ class Baseline(nn.Module):
         if self.arch.startswith("timm"):
             # the reference escape-hatches to timm (baseline.py:72-76);
             # the TPU build ships its own backbone registry instead
+            from sm3x.models.resnet import FEAT_DIMS
+            from sm3x.models.vit import VIT_FEAT_DIMS
+
             raise ValueError(
                 f"timm arch {self.arch!r} is not available in the TPU build; "
-                f"use one of {sorted(resnet_lib.FEAT_DIMS)}")
-        self.derm_backbone = resnet_lib.build_resnet(
+                f"use one of {sorted(FEAT_DIMS) + sorted(VIT_FEAT_DIMS)}")
+        self.derm_backbone = resnet_lib.build_backbone(
             self.arch, dtype=self.dtype, bn_axis_name=self.bn_axis_name)
-        self.clinic_backbone = resnet_lib.build_resnet(
+        self.clinic_backbone = resnet_lib.build_backbone(
             self.arch, dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         self.feat_dim = resnet_lib.feat_dim(self.arch) * 2
         if self.mlp_variant is None:
@@ -129,7 +132,7 @@ class SingleBaseline(nn.Module):
     bn_axis_name: Optional[str] = None
 
     def setup(self):
-        self.derm_backbone = resnet_lib.build_resnet(
+        self.derm_backbone = resnet_lib.build_backbone(
             self.arch, dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         self.classifier = MultiHeadClassifier(self.num_classes)
 

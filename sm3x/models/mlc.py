@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax
 
 from sm3x import NUM_CLASSES
-from sm3x.models import resnet as resnet_lib
+from sm3x.models import backbones as resnet_lib
 from sm3x.models.projector import MultiLabelProjector, torch_linear_init
 from sm3x.models.transformer import TransformerEncoderLayer
 
@@ -114,7 +114,7 @@ class _BareEncoder(nn.Module):
     bn_axis_name: Optional[str] = None
 
     def setup(self):
-        self.encoder = resnet_lib.build_resnet(
+        self.encoder = resnet_lib.build_backbone(
             self.arch, dtype=self.dtype, bn_axis_name=self.bn_axis_name)
 
     def __call__(self, x, train: bool = False):

@@ -26,7 +26,7 @@ from typing import Any, Optional, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
-from sm3x.models import resnet as resnet_lib
+from sm3x.models import backbones as resnet_lib
 from sm3x.models.projector import SSLProjector
 
 
@@ -41,7 +41,7 @@ class SimCLRBranch(nn.Module):
     remat: bool = False
 
     def setup(self):
-        self.encoder = resnet_lib.build_resnet(
+        self.encoder = resnet_lib.build_backbone(
             self.arch, dtype=self.dtype, bn_axis_name=self.bn_axis_name,
             remat=self.remat,
         )

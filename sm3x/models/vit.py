@@ -1,0 +1,100 @@
+"""Vision Transformer backbones (the BASELINE.json stretch goal:
+"ViT-B/16 dual-branch ... large-batch contrastive").
+
+Standard pre-LN ViT (patch embed -> [cls] + pos embed -> N x (LN-MHA-add,
+LN-MLP(gelu)-add) -> final LN -> cls feature), TPU-first: bf16 compute /
+fp32 params, optional per-block remat, all matmul shapes MXU-aligned for
+the /16 patch sizes at 224 (196+1 tokens).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from sm3x.models.projector import torch_linear_init
+
+
+class ViTBlock(nn.Module):
+    dim: int
+    n_heads: int
+    mlp_ratio: float = 4.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ln = lambda name: nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                       param_dtype=jnp.float32, name=name)
+        h = ln("ln1")(x)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.n_heads, dtype=self.dtype, param_dtype=jnp.float32,
+            name="attn")(h, h)
+        x = x + h
+        h = ln("ln2")(x)
+        hidden = int(self.dim * self.mlp_ratio)
+        h = nn.Dense(hidden, dtype=self.dtype, param_dtype=jnp.float32,
+                     kernel_init=torch_linear_init(self.dim), name="fc1")(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     kernel_init=torch_linear_init(hidden), name="fc2")(h)
+        return x + h
+
+
+class ViT(nn.Module):
+    patch: int = 16
+    dim: int = 768
+    depth: int = 12
+    n_heads: int = 12
+    mlp_ratio: float = 4.0
+    num_classes: Optional[int] = None
+    dtype: Any = jnp.bfloat16
+    remat: bool = False
+    bn_axis_name: Optional[str] = None  # unused (no BN); registry-compatible
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        x = nn.Conv(self.dim, (self.patch, self.patch),
+                    strides=(self.patch, self.patch), padding="VALID",
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name="patch_embed")(x)
+        x = x.reshape(b, -1, self.dim)
+        n_tokens = x.shape[1] + 1
+        cls = self.param("cls", nn.initializers.normal(0.02), (1, 1, self.dim),
+                         jnp.float32)
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.dim)).astype(x.dtype), x], axis=1)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, n_tokens, self.dim), jnp.float32)
+        x = x + pos.astype(x.dtype)
+
+        block_cls = ViTBlock
+        if self.remat:
+            block_cls = nn.remat(ViTBlock, static_argnums=(2,))
+        for i in range(self.depth):
+            x = block_cls(self.dim, self.n_heads, self.mlp_ratio, self.dtype,
+                          name=f"block{i}")(x, train)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="ln_final")(x)
+        feat = x[:, 0].astype(jnp.float32)
+        if self.num_classes is not None:
+            feat = nn.Dense(self.num_classes, param_dtype=jnp.float32,
+                            name="fc")(feat)
+        return feat
+
+
+VIT_SPECS = {
+    "vit_t16": dict(patch=16, dim=192, depth=12, n_heads=3),
+    "vit_s16": dict(patch=16, dim=384, depth=12, n_heads=6),
+    "vit_b16": dict(patch=16, dim=768, depth=12, n_heads=12),
+    "vit_l16": dict(patch=16, dim=1024, depth=24, n_heads=16),
+}
+
+VIT_FEAT_DIMS = {k: v["dim"] for k, v in VIT_SPECS.items()}
+
+
+def build_vit(arch: str, num_classes: Optional[int] = None,
+              dtype=jnp.bfloat16, bn_axis_name=None, remat: bool = False) -> ViT:
+    spec = VIT_SPECS[arch]
+    return ViT(num_classes=num_classes, dtype=dtype, remat=remat, **spec)

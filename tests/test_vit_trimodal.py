@@ -1,0 +1,90 @@
+"""ViT backbone + tri-modal stretch model."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sm3x.models.backbones import build_backbone, feat_dim
+from sm3x.models.trimodal import TriModalSimCLR, trimodal_ssl_loss
+
+
+def test_vit_forward_shapes():
+    m = build_backbone("vit_t16", dtype=jnp.float32)
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    v = m.init(jax.random.key(0), x, train=False)
+    out = m.apply(v, x, train=False)
+    assert out.shape == (2, feat_dim("vit_t16"))
+
+
+def test_vit_in_simclr_branch():
+    from sm3x.models.simclr import SimCLRSkinV3
+
+    m = SimCLRSkinV3(arch="vit_t16", proj_dim=16, shared_cross_proj=False,
+                     dtype=jnp.float32)
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    v = m.init(jax.random.key(0), (x, x), (x, x), train=False)
+    out = m.apply(v, (x, x), (x, x), train=False)
+    assert out["derm_z"].shape == (4, 16)
+
+
+def test_trimodal_forward_and_loss():
+    m = TriModalSimCLR(arch="vit_t16", proj_dim=16,
+                       meta_vocab_sizes=(3, 3, 5), meta_feat_dim=32,
+                       dtype=jnp.float32)
+    b = 4
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(b, 32, 32, 3)),
+                    jnp.float32)
+    codes = jnp.asarray(np.random.default_rng(1).integers(0, 3, (b, 3)),
+                        jnp.int32)
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1)}
+    v = m.init(rngs, (x, x), (x, x), codes, train=False)
+    out, _ = m.apply(v, (x, x), (x, x), codes, train=True,
+                     rngs={"dropout": jax.random.key(2)},
+                     mutable=["batch_stats"])
+    assert out["cross_meta_z"][0].shape == (b, 16)
+    total, parts = trimodal_ssl_loss(out, temperature=0.1)
+    for k in ("derm", "clinic", "meta", "cross"):
+        assert np.isfinite(float(parts[k])), k
+    assert np.isfinite(float(total))
+
+
+def test_trimodal_loss_learns():
+    """One gradient step reduces the tri-modal loss on a fixed batch."""
+    import optax
+
+    m = TriModalSimCLR(arch="vit_t16", proj_dim=8,
+                       meta_vocab_sizes=(3, 3, 5), meta_feat_dim=16,
+                       dtype=jnp.float32)
+    b = 4
+    rng = np.random.default_rng(0)
+    x1 = jnp.asarray(rng.normal(size=(b, 32, 32, 3)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(size=(b, 32, 32, 3)), jnp.float32)
+    codes = jnp.asarray(rng.integers(0, 3, (b, 3)), jnp.int32)
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1)}
+    variables = m.init(rngs, (x1, x2), (x1, x2), codes, train=False)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, stats):
+        def loss_fn(p):
+            out, mut = m.apply(
+                {"params": p, "batch_stats": stats},
+                (x1, x2), (x1, x2), codes, train=True,
+                rngs={"dropout": jax.random.key(3)}, mutable=["batch_stats"])
+            total, _ = trimodal_ssl_loss(out, 0.1)
+            return total, mut["batch_stats"]
+
+        (l, new_stats), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt2 = tx.update(g, opt, params)
+        return optax.apply_updates(params, updates), opt2, new_stats, l
+
+    losses = []
+    for _ in range(4):
+        params, opt, stats, l = step(params, opt, stats)
+        losses.append(float(l))
+    assert losses[-1] < losses[0], losses
