@@ -190,3 +190,11 @@ def write_results_csv(path: str, preds_list, targets):
         for m in _CSV_METRIC_ROWS:
             f.write(m + "," + ",".join(repr(v) for v in rows[m]) + "\n")
     return path
+
+
+def topk_accuracy(output: np.ndarray, target: np.ndarray, topk=(1,)):
+    """Top-k accuracy in percent (reference misc.py:611-625)."""
+    maxk = max(topk)
+    order = np.argsort(-np.asarray(output), axis=1)[:, :maxk]
+    correct = order == np.asarray(target)[:, None]
+    return [100.0 * float(correct[:, :k].any(axis=1).mean()) for k in topk]

@@ -352,3 +352,17 @@ def eval_resize_batch(canvases, valid_hw, mean, std, out_size=(224, 224)):
     out = jax.vmap(one)(canvases, valid_hw)
     out = jnp.clip(out, 0.0, 1.0)
     return normalize_images(out, mean, std)
+
+
+def normalize_uint8(x, mean, std):
+    """uint8 NHWC batch -> normalized float (the reference Normalizer.fit,
+    misc.py:80-100, albumentations-style: (x - 255*mean) * 1/(255*std))."""
+    x = jnp.asarray(x, jnp.float32) / 255.0
+    return normalize_images(x, mean, std)
+
+
+def denormalize_to_uint8(x, mean, std):
+    """Inverse of normalize (Normalizer.denormalize, misc.py:102-104)."""
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    return jnp.clip((x * std + mean) * 255.0, 0, 255).astype(jnp.uint8)
