@@ -50,6 +50,8 @@ class ModelConfig:
     init_prototype: bool = False
     finetune_backbone: bool = False
     num_classes: Tuple[int, ...] = tuple(NUM_CLASSES)
+    # route NT-Xent through the fused Pallas TPU kernel
+    use_pallas_ntxent: bool = False
     # NT-Xent negatives semantics (SURVEY §2c): the reference keeps
     # negatives local to each device's sub-batch. "local" reproduces that
     # by splitting the global batch into `world_size` groups; "global"

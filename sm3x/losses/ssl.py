@@ -28,14 +28,31 @@ def ssl_loss(
     temperature: float,
     groups: int = 1,
     modality_weights=(1.0, 1.0),
+    use_pallas: bool = False,
 ):
     """outputs: the dict returned by SimCLRSkinV3/V32.__call__.
-    Returns (total, {"derm": .., "clinic": .., "cross": ..})."""
+    Returns (total, {"derm": .., "clinic": .., "cross": ..}).
+    `use_pallas` routes each group's NT-Xent through the fused Pallas TPU
+    kernel (sm3x.ops.ntxent_pallas) instead of the XLA composition."""
     b2 = outputs["derm_z"].shape[0]
     b = b2 // 2
 
-    def nt(z1, z2):
-        return grouped_ntxent_loss(z1, z2, temperature, groups)
+    if use_pallas:
+        from sm3x.ops.ntxent_pallas import ntxent_loss_pallas
+
+        def nt(z1, z2):
+            if groups == 1:
+                return ntxent_loss_pallas(z1, z2, temperature)
+            gb = z1.shape[0] // groups
+            losses = [
+                ntxent_loss_pallas(z1[g * gb:(g + 1) * gb],
+                                   z2[g * gb:(g + 1) * gb], temperature)
+                for g in range(groups)
+            ]
+            return jnp.mean(jnp.stack(losses))
+    else:
+        def nt(z1, z2):
+            return grouped_ntxent_loss(z1, z2, temperature, groups)
 
     derm_loss = nt(outputs["derm_z"][:b], outputs["derm_z"][b:])
     clinic_loss = nt(outputs["clinic_z"][:b], outputs["clinic_z"][b:])

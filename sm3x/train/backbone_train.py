@@ -30,7 +30,7 @@ from sm3x.utils import AverageMeter, ProgressMeter, setup_logger, save_checkpoin
 
 
 def make_ssl_train_step(model, style: int, temperature: float, groups: int,
-                        mean, std, aug_cfg=SSL_AUG):
+                        mean, std, aug_cfg=SSL_AUG, use_pallas: bool = False):
     """Returns jitted (state, canvases..., rng) -> (state, metrics)."""
 
     def augment_views(rng, canvases, hw):
@@ -50,7 +50,8 @@ def make_ssl_train_step(model, style: int, temperature: float, groups: int,
                 {"params": params, "batch_stats": state.batch_stats},
                 (d1, d2), (c1, c2), train=True, mutable=["batch_stats"],
             )
-            total, parts = ssl_loss(outs, style, temperature, groups)
+            total, parts = ssl_loss(outs, style, temperature, groups,
+                                    use_pallas=use_pallas)
             return total, (mut["batch_stats"], parts)
 
         (loss, (new_stats, parts)), grads = jax.value_and_grad(
@@ -126,7 +127,8 @@ class SSLTrainer:
         aug_cfg = _dc.replace(SSL_AUG, out_size=tuple(cfg.data.img_sz))
         self.train_step = make_ssl_train_step(
             self.model, self.style, m.temperature, self.groups,
-            tuple(cfg.data.mean), tuple(cfg.data.std), aug_cfg)
+            tuple(cfg.data.mean), tuple(cfg.data.std), aug_cfg,
+            use_pallas=m.use_pallas_ntxent)
         self.start_epoch = 0
 
     def train_epoch(self, data, epoch: int) -> dict:
