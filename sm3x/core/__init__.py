@@ -1,6 +1,7 @@
 from sm3x.core.precision import Policy, DEFAULT_POLICY, FP32_POLICY
 from sm3x.core.mesh import make_mesh, data_sharding, replicated_sharding
 from sm3x.core.prng import step_rng, fold_in_axis
+from sm3x.core.cache import enable_compilation_cache
 from sm3x.core.config import (
     DataConfig,
     ModelConfig,
@@ -18,6 +19,7 @@ __all__ = [
     "make_mesh",
     "data_sharding",
     "replicated_sharding",
+    "enable_compilation_cache",
     "step_rng",
     "fold_in_axis",
     "DataConfig",

@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Capability demo: the full SM3 pipeline learns on synthetic
+label-correlated data.
+
+Builds a synthetic paired dataset whose image statistics encode the
+labels (per-class hue/texture), runs stage-1 SSL pretraining, then
+linear-probes the frozen features and compares against a probe on a
+RANDOM-INIT extractor. SSL features beating random-init features on val
+AUC demonstrates the contrastive pipeline end-to-end without the
+(non-redistributable) Derm7pt images.
+
+    python tools/demo_synthetic_e2e.py --epochs 20
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def make_structured_dataset(n=192, size=160, seed=0):
+    """Paired images whose hue/frequency encode the 8 labels."""
+    import cv2
+
+    from sm3x import NUM_CLASSES
+    from sm3x.data.pipeline import PairedImageData
+
+    rng = np.random.default_rng(seed)
+    labels = np.stack([rng.integers(0, c, n) for c in NUM_CLASSES], axis=1)
+
+    def render(label, modality_shift):
+        # base hue from DIAG, stripe frequency from PN, brightness from BWV,
+        # blob density from VS — weak, noisy signals
+        h = (label[0] / 5.0 + modality_shift) % 1.0
+        img_hsv = np.zeros((size, size, 3), np.float32)
+        yy, xx = np.mgrid[0:size, 0:size]
+        stripes = 0.5 + 0.3 * np.sin(2 * np.pi * (label[1] + 1) * xx / size)
+        img_hsv[..., 0] = (h * 179)
+        img_hsv[..., 1] = 120 + 60 * stripes
+        img_hsv[..., 2] = 100 + 40 * label[2] + 20 * np.sin(
+            2 * np.pi * (label[3] + 1) * yy / size)
+        img = cv2.cvtColor(img_hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+        noise = rng.normal(0, 25, img.shape)
+        return np.clip(img.astype(np.float32) + noise, 0, 255).astype(np.uint8)
+
+    class ArrayStore:
+        pass
+
+    def build(split_idx):
+        from sm3x.data.pipeline import letterbox
+
+        derm = ArrayStore()
+        clinic = ArrayStore()
+        for store, shift in ((derm, 0.0), (clinic, 0.07)):
+            canv = np.zeros((len(split_idx), size, size, 3), np.uint8)
+            hw = np.zeros((len(split_idx), 2), np.int32)
+            for j, i in enumerate(split_idx):
+                canv[j] = render(labels[i], shift)
+                hw[j] = (size, size)
+            store.canvases = canv
+            store.valid_hw = hw
+        data = PairedImageData.__new__(PairedImageData)
+        data.derm = derm
+        data.clinic = clinic
+        data.labels = labels[split_idx].astype(np.int32)
+        data.n = len(split_idx)
+        return data
+
+    perm = rng.permutation(n)
+    n_tr = int(n * 0.7)
+    return build(perm[:n_tr]), build(perm[n_tr:])
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--batch-size", type=int, default=48)
+    p.add_argument("--probe-epochs", type=int, default=15)
+    p.add_argument("--arch", default="resnet18")
+    p.add_argument("--img-sz", type=int, default=96)
+    p.add_argument("--log-path", default="/tmp/sm3x_demo")
+    args = p.parse_args()
+
+    from sm3x.core.config import SSLConfig, DataConfig, ModelConfig, OptimConfig, RunConfig
+    from sm3x.train.backbone_train import SSLTrainer
+    from sm3x.train.linear_probe import LinearProbe, make_ssl_extract_fn
+
+    mean = (0.5, 0.5, 0.5)
+    std = (0.25, 0.25, 0.25)
+    train, test = make_structured_dataset()
+    print(f"data: train {train.n} / test {test.n}", flush=True)
+
+    cfg = SSLConfig(
+        data=DataConfig(img_sz=(args.img_sz, args.img_sz), mean=mean, std=std),
+        model=ModelConfig(arch=args.arch, arch_version="v32", proj_dim=64,
+                          temperature=0.1),
+        optim=OptimConfig(epochs=args.epochs, batch_size=args.batch_size,
+                          base_lr=1e-3, amp=True),
+        run=RunConfig(log_path=args.log_path, seed=0, save_freq=1000,
+                      print_freq=1000),
+    )
+
+    def probe_auc(trainer, tag):
+        extract = make_ssl_extract_fn(
+            trainer.model, trainer.state, trainer.mesh, mean, std,
+            (args.img_sz, args.img_sz))
+        from sm3x.models.backbones import feat_dim
+
+        probe = LinearProbe(2 * feat_dim(args.arch), ft_lr=1e-3, seed=0,
+                            mesh=trainer.mesh)
+        best = probe.run(extract, train, test, args.batch_size,
+                         epochs=args.probe_epochs)
+        print(f"{tag}: best val AUC_AVG {best['AUC_AVG']:.4f}", flush=True)
+        return best["AUC_AVG"]
+
+    t0 = time.time()
+    trainer = SSLTrainer(cfg)
+    auc_random = probe_auc(trainer, "random-init probe")
+    trainer.fit(train)
+    print(f"SSL {args.epochs} epochs in {(time.time() - t0) / 60:.1f} min",
+          flush=True)
+    auc_ssl = probe_auc(trainer, "SSL-pretrained probe")
+    print(f"RESULT: ssl {auc_ssl:.4f} vs random {auc_random:.4f} "
+          f"({'PASS' if auc_ssl > auc_random else 'FAIL'})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
