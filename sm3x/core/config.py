@@ -80,6 +80,7 @@ class RunConfig:
     seed: int = 3407
     workers: int = 8
     save_freq: int = 50
+    ckpt_freq: int = 1  # rolling checkpoint.msgpack cadence (epochs)
     print_freq: int = 50
     resume_path: Optional[str] = None
     pretrain_path: Optional[str] = None

@@ -177,8 +177,9 @@ class SSLTrainer:
             self.logger.info(
                 f"Epoch {epoch}: loss {stat['loss']:.4f} "
                 f"({(time.time() - t0) / 60:.2f} min)")
-            ckpt = os.path.join(cfg.run.log_path, "checkpoint.msgpack")
-            self.save(ckpt, epoch)
+            if (epoch + 1) % max(cfg.run.ckpt_freq, 1) == 0:
+                ckpt = os.path.join(cfg.run.log_path, "checkpoint.msgpack")
+                self.save(ckpt, epoch)
             if (epoch + 1) % cfg.run.save_freq == 0 or (epoch + 1) == cfg.optim.epochs:
                 self.save(os.path.join(cfg.run.log_path, f"ckp_{epoch}.msgpack"),
                           epoch)
