@@ -55,6 +55,8 @@ def get_parser(desc: str = "sm3x training") -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=3407)
     p.add_argument("-j", "--workers", default=8, type=int)
     p.add_argument("--save-freq", type=int, default=50)
+    p.add_argument("--ckpt-freq", type=int, default=1,
+                   help="rolling checkpoint cadence (epochs)")
     p.add_argument("--print-freq", type=int, default=50)
     p.add_argument("--amp", action="store_true",
                    help="bf16 compute (TPU analogue of CUDA fp16 AMP)")
@@ -89,6 +91,7 @@ def base_configs(args) -> tuple:
     )
     run = RunConfig(
         seed=args.seed, workers=args.workers, save_freq=args.save_freq,
+        ckpt_freq=getattr(args, "ckpt_freq", 1),
         print_freq=args.print_freq, resume_path=args.resume_path,
         pretrain_path=args.pretrain_path, log_path=args.log_path,
         logger_name=args.logger_name, tensorboard=args.tensorboard,
