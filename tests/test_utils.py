@@ -1,0 +1,107 @@
+"""Utility coverage: meters, run dirs, schedules, logging, profiling."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from sm3x.utils.misc import (
+    increment_path, save_args, AverageMeter, ProgressMeter, BestRecorder,
+    create_eval_stat,
+)
+from sm3x.utils.logging import (
+    setup_logger, log_first_n, log_every_n, generate_stat_text, StatWriter,
+)
+from sm3x.train.common import warmup_cosine_schedule
+
+
+def test_increment_path(tmp_path):
+    base = os.path.join(tmp_path, "exp")
+    p1 = increment_path(base, sep="_")
+    assert str(p1) == base
+    os.makedirs(base, exist_ok=True)
+    p2 = increment_path(base, sep="_")
+    assert str(p2).endswith("exp_2")
+    os.makedirs(str(p2), exist_ok=True)
+    p3 = increment_path(base, sep="_")
+    assert str(p3).endswith("exp_3")
+
+
+def test_save_args_sorted(tmp_path):
+    path = os.path.join(tmp_path, "configs.txt")
+    save_args({"b": 2, "a": 1}, path)
+    lines = open(path).read().splitlines()
+    assert lines == ["a: 1", "b: 2"]
+
+
+def test_meters():
+    m = AverageMeter("Loss", ":.2f")
+    m.update(1.0, 2)
+    m.update(3.0, 2)
+    assert m.avg == 2.0
+    pm = ProgressMeter(100, [m], prefix="ep[0]")
+    s = pm.display(7)
+    assert "[  7/100]" in s and "Loss" in s
+
+    br = BestRecorder("max")
+    _, improved = br.update(0.5)
+    assert improved
+    _, improved = br.update(0.4)
+    assert not improved and br.val() == 0.5
+
+
+def test_create_eval_stat_keys():
+    stat = create_eval_stat("val", ["AUC"], ["DIAG", "PN"], "max")
+    assert set(stat) == {"val/AUC_DIAG", "val/AUC_PN", "val/AUC_AVG"}
+
+
+def test_generate_stat_text():
+    tr = {"AUC_DIAG": 0.5, "AUC_AVG": 0.6}
+    va = {"AUC_DIAG": 0.7, "AUC_AVG": 0.8}
+    summary = {f"{p}/{k}": BestRecorder("max", best=v)
+               for p, d in (("train", tr), ("val", va)) for k, v in d.items()}
+    text = generate_stat_text(tr, va, summary, ["AUC"], ["DIAG"])
+    assert "AUC_DIAG" in text and "AUC_AVG" in text
+
+
+def test_logger_elapsed_prefix(tmp_path, capsys):
+    lg = setup_logger(str(tmp_path), name="sm3x.testlog")
+    lg.info("hello world")
+    out = capsys.readouterr().out
+    assert "hello world" in out and out.startswith("[0d 00:")
+    assert os.path.exists(os.path.join(tmp_path, "log.txt"))
+    log_first_n(lg, "once", n=1, key="k1")
+    log_first_n(lg, "once", n=1, key="k1")
+    log_every_n(lg, "every3", n=3, key="k2")
+    out = capsys.readouterr().out
+    assert out.count("once") == 1
+    assert out.count("every3") == 1
+
+
+def test_stat_writer_noop(tmp_path):
+    w = StatWriter(str(tmp_path), tensorboard=False, wandb=False)
+    w.log({"loss": 1.0}, step=0, prefix="train/")
+    w.close()
+
+
+def test_warmup_cosine_schedule():
+    sched = warmup_cosine_schedule(1.0, 0.0, warmup_epochs=1, total_epochs=10,
+                                   steps_per_epoch=10, start_warmup=0.0)
+    assert float(sched(0)) < float(sched(9))
+    np.testing.assert_allclose(float(sched(10)), 1.0, rtol=1e-5)
+    assert float(sched(99)) < 0.05
+    # constant case returns the base lr
+    assert warmup_cosine_schedule(0.1, 0.0, 0, 10, 10) == 0.1
+
+
+def test_step_timer():
+    from sm3x.utils.profiling import StepTimer
+
+    t = StepTimer()
+    time.sleep(0.01)
+    t.data_ready()
+    time.sleep(0.01)
+    t.step_done()
+    s = t.summary()
+    assert s["data_time"] > 0 and s["step_time"] > 0
