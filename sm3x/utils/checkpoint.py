@@ -52,6 +52,40 @@ def restore_into(target, state_dict):
     return serialization.from_state_dict(target, state_dict)
 
 
+class OrbaxManager:
+    """Orbax checkpoint manager (SURVEY §5: 'Orbax checkpoint-manager with
+    --resume parity') — async multi-host-safe saves with keep-last-k
+    retention; the msgpack path above remains the single-host default."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.manager = ocp.CheckpointManager(
+            os.path.abspath(directory),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True),
+        )
+
+    def save(self, step: int, tree):
+        self.manager.save(step, args=self._ocp.args.StandardSave(_to_host(tree)))
+
+    def restore(self, step: Optional[int] = None):
+        step = self.manager.latest_step() if step is None else step
+        if step is None:
+            return None
+        return self.manager.restore(step)
+
+    def latest_step(self):
+        return self.manager.latest_step()
+
+    def wait(self):
+        self.manager.wait_until_finished()
+
+    def close(self):
+        self.manager.close()
+
+
 def restart_from_checkpoint(path: str, logger=None) -> Optional[Dict[str, Any]]:
     """Warm-restart loader (misc.py:462-494): missing file is fatal there;
     here we return None and let the caller decide."""

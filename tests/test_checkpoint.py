@@ -63,3 +63,17 @@ def test_load_torch_training_state_wrapper(tmp_path):
     out = tc.load_torch_state_dict(path)
     assert set(out) == {"w"}
     assert out["w"].shape == (2, 2)
+
+
+def test_orbax_manager_roundtrip(tmp_path):
+    from sm3x.utils.checkpoint import OrbaxManager
+
+    mgr = OrbaxManager(str(tmp_path / "orbax"), max_to_keep=2)
+    tree = {"params": {"w": np.arange(4, dtype=np.float32)}, "epoch": 1}
+    mgr.save(1, tree)
+    mgr.save(2, {"params": {"w": np.ones(4, np.float32)}, "epoch": 2})
+    mgr.wait()
+    assert mgr.latest_step() == 2
+    out = mgr.restore()
+    np.testing.assert_array_equal(out["params"]["w"], np.ones(4, np.float32))
+    mgr.close()
