@@ -31,6 +31,10 @@ def main():
     parser.add_argument("--label-weights", nargs="*", type=float,
                         default=[1.0] * 8)
     parser.add_argument("--use-checkpoint", action="store_true")
+    parser.add_argument("--linear-probe", action="store_true",
+                        help="run the in-tool linear probe after training "
+                        "(backbone_train.py:293-426; disabled at :607 in "
+                        "the reference)")
     args = parser.parse_args()
 
     args.log_path = str(increment_path(args.log_path, sep="_", mkdir=True))
@@ -65,6 +69,25 @@ def main():
                 opt_state=opt_state)
             trainer.start_epoch = int(ckpt.get("epoch", 0))
         trainer.fit(data)
+
+        if args.linear_probe:
+            from sm3x.models.backbones import feat_dim
+            from sm3x.train.linear_probe import LinearProbe, make_ssl_extract_fn
+
+            test = build_dataset(cfg.data.data_name, cfg.data.data_path,
+                                 "test", cache_size=cfg.data.cache_size,
+                                 workers=cfg.run.workers)
+            extract = make_ssl_extract_fn(
+                trainer.model, trainer.state, trainer.mesh,
+                tuple(cfg.data.mean), tuple(cfg.data.std),
+                tuple(cfg.data.img_sz))
+            probe = LinearProbe(2 * feat_dim(cfg.model.arch),
+                                ft_lr=args.ft_lr, wd=cfg.optim.wd,
+                                seed=cfg.run.seed, mesh=trainer.mesh)
+            best = probe.run(extract, data, test, cfg.optim.batch_size,
+                             epochs=50, label_weights=cfg.optim.label_weights,
+                             seed=cfg.run.seed, logger=logger)
+            logger.info(f"linear probe best val AUC_AVG: {best['AUC_AVG']:.4f}")
     except Exception as e:
         print(e, "\n")
         with open(os.path.join(args.log_path, "error.log"), "a") as f:
