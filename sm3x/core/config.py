@@ -6,7 +6,7 @@ so that `run.sh` recipes translate 1:1 onto the TPU build.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 from sm3x import NUM_CLASSES
 

@@ -4,8 +4,6 @@
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 from sm3x.data.derm7pt import Derm7ptMeta

@@ -8,7 +8,6 @@ transfer dominates the step. Batches become index gathers inside jit.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Iterator
 
 import jax

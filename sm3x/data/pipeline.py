@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import concurrent.futures as cf
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

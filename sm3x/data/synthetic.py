@@ -4,8 +4,6 @@ dataset is not redistributable; SURVEY §4 calls for fixture-driven tests)."""
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 from sm3x.data.derm7pt import GROUPED_SCHEMA, LABEL_ORD

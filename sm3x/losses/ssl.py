@@ -16,7 +16,6 @@ loss-scale parity; groups=1 contrasts globally.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from sm3x.ops.ntxent import grouped_ntxent_loss

@@ -18,7 +18,7 @@ passes producing the logits are the TPU work.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -15,7 +15,6 @@ import flax.linen as nn
 
 from sm3x import NUM_CLASSES
 from sm3x.models import backbones as resnet_lib
-from sm3x.models.projector import torch_linear_init
 
 
 def _head_dense(c, name, dtype=jnp.float32):

@@ -12,9 +12,8 @@ contrasted with the V32-style per-modality cross projectors.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 

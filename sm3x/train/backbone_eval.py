@@ -18,13 +18,13 @@ from sm3x.core.cache import enable_compilation_cache
 from sm3x.core.mesh import make_mesh, replicate
 from sm3x.core.precision import policy_for
 from sm3x.models.baseline import Baseline
-from sm3x.ops.augment import PROBE_AUG, FINETUNE_AUG
+from sm3x.ops.augment import PROBE_AUG
 from sm3x.train import common
 from sm3x.train.supervised import (
     make_supervised_steps, run_train_epoch, run_eval_epoch, collect_eval_logits,
 )
 from sm3x.utils.logging import StatWriter
-from sm3x.utils import BestRecorder, setup_logger, save_checkpoint
+from sm3x.utils import setup_logger, save_checkpoint
 from sm3x.metrics import write_results_csv
 
 

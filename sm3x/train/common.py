@@ -9,11 +9,10 @@ an optimizer mask: frozen leaves get zero updates AND no weight decay —
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import optax
-from flax import struct
 from flax.training import train_state
 
 

@@ -11,7 +11,6 @@ per epoch but only the forward (no backward through the extractor)."""
 from __future__ import annotations
 
 import dataclasses
-import time
 from functools import partial
 
 import jax

@@ -10,7 +10,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from sm3x import METRICS_NAME, CLASSES_NAME
 from sm3x.core import prng
@@ -25,7 +24,7 @@ from sm3x.train.supervised import (
 )
 from sm3x.utils.logging import StatWriter
 from sm3x.utils import (
-    AverageMeter, BestRecorder, setup_logger, save_checkpoint, create_eval_stat,
+    BestRecorder, setup_logger, save_checkpoint, create_eval_stat,
 )
 from sm3x.metrics import write_results_csv
 

@@ -17,8 +17,6 @@ from __future__ import annotations
 import dataclasses
 import time
 from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -13,17 +13,14 @@ measures and the CSVs record.
 
 from __future__ import annotations
 
-import dataclasses
-import time
 from functools import partial
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, List, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from sm3x.core import prng
-from sm3x.core.mesh import shard_batch, replicate
+from sm3x.core.mesh import shard_batch
 from sm3x.losses import weighted_multilabel_ce
 from sm3x.metrics import compute_stage_metrics
 from sm3x.ops.augment import ssl_augment_batch, eval_resize_batch

@@ -5,7 +5,6 @@ counterparts: increment_path :45-59, save_args :62-65, fix_random_seeds
 from __future__ import annotations
 
 import glob
-import os
 import random
 import re
 import sys

@@ -21,7 +21,7 @@ Conversion handles layout changes: conv OIHW->HWIO, linear (out,in)->(in,out).
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

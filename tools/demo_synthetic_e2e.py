@@ -101,7 +101,7 @@ def main():
         optim=OptimConfig(epochs=args.epochs, batch_size=args.batch_size,
                           base_lr=1e-3, amp=True),
         run=RunConfig(log_path=args.log_path, seed=0, save_freq=1000,
-                      print_freq=1000),
+                      ckpt_freq=1000, print_freq=1000),
     )
 
     def probe_auc(trainer, tag):
