@@ -107,3 +107,23 @@ def test_rrc_distribution_mean_area():
     assert np.all(np.asarray(boxes[0]) >= 0)
     assert np.all(np.asarray(boxes[0] + boxes[2]) <= 200.0 + 1e-3)
     assert np.all(np.asarray(boxes[1] + boxes[3]) <= 180.0 + 1e-3)
+
+
+def test_meta_codes_vocabularies(fake_root):
+    meta = Derm7ptMeta(fake_root)
+    assert meta.meta_codes.shape == (16, 3)
+    assert set(meta.meta_fields) == {"elevation", "sex", "location"}
+    for f in meta.meta_fields:
+        assert len(meta.meta_vocabs[f]) >= 1
+    assert meta.meta_codes.min() >= 0
+
+
+def test_normalize_denormalize_roundtrip(rng_np):
+    from sm3x.ops.augment import normalize_uint8, denormalize_to_uint8
+
+    x = rng_np.integers(0, 256, (2, 8, 8, 3)).astype(np.uint8)
+    mean = (0.5, 0.4, 0.3)
+    std = (0.2, 0.25, 0.3)
+    normed = normalize_uint8(jnp.asarray(x), mean, std)
+    back = denormalize_to_uint8(normed, mean, std)
+    np.testing.assert_allclose(np.asarray(back), x, atol=1)

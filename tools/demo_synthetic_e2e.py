@@ -33,19 +33,24 @@ def make_structured_dataset(n=192, size=160, seed=0):
     labels = np.stack([rng.integers(0, c, n) for c in NUM_CLASSES], axis=1)
 
     def render(label, modality_shift):
-        # base hue from DIAG, stripe frequency from PN, brightness from BWV,
-        # blob density from VS — weak, noisy signals
-        h = (label[0] / 5.0 + modality_shift) % 1.0
-        img_hsv = np.zeros((size, size, 3), np.float32)
-        yy, xx = np.mgrid[0:size, 0:size]
-        stripes = 0.5 + 0.3 * np.sin(2 * np.pi * (label[1] + 1) * xx / size)
-        img_hsv[..., 0] = (h * 179)
-        img_hsv[..., 1] = 120 + 60 * stripes
-        img_hsv[..., 2] = 100 + 40 * label[2] + 20 * np.sin(
-            2 * np.pi * (label[3] + 1) * yy / size)
-        img = cv2.cvtColor(img_hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
-        noise = rng.normal(0, 25, img.shape)
-        return np.clip(img.astype(np.float32) + noise, 0, 255).astype(np.uint8)
+        # Labels are encoded in LUMINANCE TEXTURE (grating orientation /
+        # frequency), which survives the SSL augmentations — ColorJitter
+        # and grayscale destroy hue/brightness codes, so color-coded
+        # labels would be actively unlearned by contrastive training.
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+        phase = rng.uniform(0, 2 * np.pi, 4)  # per-image nuisance
+        theta = np.pi * label[0] / 5.0 + modality_shift  # DIAG: orientation
+        u = xx * np.cos(theta) + yy * np.sin(theta)
+        tex = 0.5 * np.sin(2 * np.pi * (6 + 3 * label[1]) * u + phase[0])
+        tex += 0.4 * np.sin(2 * np.pi * (4 + 4 * label[3]) * yy + phase[1])
+        tex += 0.3 * np.sin(2 * np.pi * (5 + 5 * label[4]) * xx + phase[2])
+        if label[2]:  # BWV: checkerboard component
+            tex += 0.4 * np.sign(np.sin(2 * np.pi * 8 * xx + phase[3])
+                                 * np.sin(2 * np.pi * 8 * yy))
+        base = 128 + 70 * tex / 1.6
+        img = np.stack([base, base, base], axis=-1)
+        noise = rng.normal(0, 15, img.shape)
+        return np.clip(img + noise, 0, 255).astype(np.uint8)
 
     class ArrayStore:
         pass
