@@ -112,6 +112,24 @@ class SSLTrainer:
         variables = jax.jit(
             lambda r: self.model.init(r, (dummy, dummy), (dummy, dummy),
                                       train=False))(init_rng)
+        # --arch-weights: initialize both encoders from a torch ResNet
+        # state-dict (the reference boots from IMAGENET1K_V1, run.sh:11;
+        # pass the torchvision .pth file path here — no network fetch).
+        import os as _os
+
+        if m.arch_weights and _os.path.isfile(str(m.arch_weights)):
+            from sm3x.utils import torch_convert as _tc
+
+            sd = _tc.load_torch_state_dict(str(m.arch_weights))
+            ep, es = _tc.convert_resnet(sd, m.arch)
+            for mod in ("derm_backbone", "clinic_backbone"):
+                variables["params"][mod]["encoder"] = jax.tree.map(
+                    jnp.asarray, ep)
+                variables["batch_stats"][mod]["encoder"] = jax.tree.map(
+                    jnp.asarray, es)
+            self.logger.info(
+                f"initialized encoders from '{m.arch_weights}'")
+
         tx = common.make_adamw(cfg.optim.base_lr, cfg.optim.wd,
                                eps=cfg.optim.adam_eps)
         self.state = common.create_train_state(self.model, variables, tx)

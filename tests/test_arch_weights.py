@@ -1,0 +1,36 @@
+"""--arch-weights bootstrap: a torch ResNet state-dict initializes both
+SSL encoders (the reference's IMAGENET1K_V1 boot, run.sh:11)."""
+
+import os
+
+import numpy as np
+import torch
+
+import jax
+
+from sm3x.core.config import SSLConfig, DataConfig, ModelConfig, OptimConfig, RunConfig
+from sm3x.train.backbone_train import SSLTrainer
+
+from torch_ref import torch_resnet18, randomize_bn_stats
+
+
+def test_arch_weights_bootstrap(tmp_path):
+    gen = torch.Generator().manual_seed(0)
+    tm = torch_resnet18()
+    randomize_bn_stats(tm, gen)
+    path = os.path.join(tmp_path, "r18.pth")
+    torch.save(tm.state_dict(), path)
+
+    cfg = SSLConfig(
+        data=DataConfig(img_sz=(48, 48)),
+        model=ModelConfig(arch="resnet18", arch_version="v32", proj_dim=16,
+                          temperature=0.1, arch_weights=path),
+        optim=OptimConfig(epochs=1, batch_size=8, base_lr=1e-3, amp=False),
+        run=RunConfig(log_path=str(tmp_path), seed=0),
+    )
+    trainer = SSLTrainer(cfg)
+    params = jax.device_get(trainer.state.params)
+    want = tm.state_dict()["conv1.weight"].numpy().transpose(2, 3, 1, 0)
+    for mod in ("derm_backbone", "clinic_backbone"):
+        got = params[mod]["encoder"]["conv1"]["kernel"]
+        np.testing.assert_allclose(got, want, rtol=1e-6)
