@@ -118,3 +118,36 @@ def test_backbone_eval_freeze_fc(fake_data, tmp_path):
     a = jax.tree.leaves(p0["classifier"])
     b = jax.tree.leaves(p1["classifier"])
     assert any(not np.array_equal(x, y) for x, y in zip(a, b))
+
+
+def test_mlc_eval_finetune_all_stem_frozen(fake_data, tmp_path):
+    """finetune='all': residual stages train, stem stays frozen
+    (mlc_eval.py:379-388)."""
+    from sm3x.train.mlc_eval import MLCEvalTrainer
+    from sm3x.train.supervised import run_train_epoch
+
+    train, _ = fake_data
+    cfg = EvalConfig(
+        data=DataConfig(img_sz=(48, 48)),
+        model=_model_cfg(finetune="all"),
+        optim=OptimConfig(epochs=1, batch_size=8, base_lr=1e-2, amp=False),
+        run=RunConfig(log_path=str(tmp_path), seed=0),
+        train_sz=48, test_sz=48,
+    )
+    trainer = MLCEvalTrainer(cfg)
+    p0 = jax.device_get(trainer.state.params)
+    run_train_epoch(trainer, train, 0)
+    p1 = jax.device_get(trainer.state.params)
+
+    enc0 = p0["extractor"]["derm_backbone"]["encoder"]
+    enc1 = p1["extractor"]["derm_backbone"]["encoder"]
+    # stem frozen
+    assert np.array_equal(enc0["conv1"]["kernel"], enc1["conv1"]["kernel"])
+    assert np.array_equal(enc0["bn1"]["scale"], enc1["bn1"]["scale"])
+    # residual stages moved
+    moved = [
+        not np.array_equal(a, b)
+        for a, b in zip(jax.tree.leaves(enc0["layer4_1"]),
+                        jax.tree.leaves(enc1["layer4_1"]))
+    ]
+    assert any(moved)

@@ -47,9 +47,21 @@ def make_structured_dataset(n=192, size=160, seed=0):
         if label[2]:  # BWV: checkerboard component
             tex += 0.4 * np.sign(np.sin(2 * np.pi * 8 * xx + phase[3])
                                  * np.sin(2 * np.pi * 8 * yy))
-        base = 128 + 70 * tex / 1.6
+        # unique per-image identity structure: instance discrimination is
+        # only well-posed when each image is distinguishable from the
+        # others (images sharing a label combo would otherwise be
+        # near-duplicates and put a floor under the NT-Xent loss)
+        ident = np.zeros_like(tex)
+        for _ in range(3):
+            th = rng.uniform(0, np.pi)
+            fr = rng.uniform(1.5, 5.0)
+            ph = rng.uniform(0, 2 * np.pi)
+            ident += np.sin(2 * np.pi * fr *
+                            (xx * np.cos(th) + yy * np.sin(th)) + ph)
+        tex = tex + 0.5 * ident
+        base = 128 + 45 * tex / 1.6
         img = np.stack([base, base, base], axis=-1)
-        noise = rng.normal(0, 15, img.shape)
+        noise = rng.normal(0, 10, img.shape)
         return np.clip(img + noise, 0, 255).astype(np.uint8)
 
     class ArrayStore:
