@@ -38,28 +38,25 @@ def make_structured_dataset(n=192, size=160, seed=0):
         # and grayscale destroy hue/brightness codes, so color-coded
         # labels would be actively unlearned by contrastive training.
         yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
-        phase = rng.uniform(0, 2 * np.pi, 4)  # per-image nuisance
-        theta = np.pi * label[0] / 5.0 + modality_shift  # DIAG: orientation
+        phase = rng.uniform(0, 2 * np.pi, 4)
+        # Per-image IDENTITY = continuous jitter AROUND label-determined
+        # texture parameters. Instance discrimination must then encode the
+        # continuous parameters (orientation/frequencies), and the linear
+        # probe recovers the labels by thresholding them — like real
+        # lesions, where the instance's appearance IS the label evidence.
+        theta = np.pi * (label[0] + rng.uniform(0.1, 0.9)) / 5.0 + modality_shift
+        f1 = 6 + 3 * (label[1] + rng.uniform(0.1, 0.9))
+        f2 = 4 + 4 * (label[3] + rng.uniform(0.1, 0.9))
+        f3 = 5 + 5 * (label[4] + rng.uniform(0.1, 0.9))
         u = xx * np.cos(theta) + yy * np.sin(theta)
-        tex = 0.5 * np.sin(2 * np.pi * (6 + 3 * label[1]) * u + phase[0])
-        tex += 0.4 * np.sin(2 * np.pi * (4 + 4 * label[3]) * yy + phase[1])
-        tex += 0.3 * np.sin(2 * np.pi * (5 + 5 * label[4]) * xx + phase[2])
+        tex = 0.5 * np.sin(2 * np.pi * f1 * u + phase[0])
+        tex += 0.4 * np.sin(2 * np.pi * f2 * yy + phase[1])
+        tex += 0.3 * np.sin(2 * np.pi * f3 * xx + phase[2])
         if label[2]:  # BWV: checkerboard component
-            tex += 0.4 * np.sign(np.sin(2 * np.pi * 8 * xx + phase[3])
-                                 * np.sin(2 * np.pi * 8 * yy))
-        # unique per-image identity structure: instance discrimination is
-        # only well-posed when each image is distinguishable from the
-        # others (images sharing a label combo would otherwise be
-        # near-duplicates and put a floor under the NT-Xent loss)
-        ident = np.zeros_like(tex)
-        for _ in range(3):
-            th = rng.uniform(0, np.pi)
-            fr = rng.uniform(1.5, 5.0)
-            ph = rng.uniform(0, 2 * np.pi)
-            ident += np.sin(2 * np.pi * fr *
-                            (xx * np.cos(th) + yy * np.sin(th)) + ph)
-        tex = tex + 0.5 * ident
-        base = 128 + 45 * tex / 1.6
+            tex += rng.uniform(0.3, 0.5) * np.sign(
+                np.sin(2 * np.pi * 8 * xx + phase[3])
+                * np.sin(2 * np.pi * 8 * yy))
+        base = 128 + 55 * tex / 1.6
         img = np.stack([base, base, base], axis=-1)
         noise = rng.normal(0, 10, img.shape)
         return np.clip(img + noise, 0, 255).astype(np.uint8)
