@@ -97,6 +97,10 @@ def main():
     p.add_argument("--arch", default="resnet18")
     p.add_argument("--img-sz", type=int, default=96)
     p.add_argument("--log-path", default="/tmp/sm3x_demo")
+    p.add_argument("--full-pipeline", action="store_true",
+                   help="also run stage-2 DeepCluster + supervised eval")
+    p.add_argument("--mlc-epochs", type=int, default=40)
+    p.add_argument("--eval-epochs", type=int, default=25)
     args = p.parse_args()
 
     from sm3x.core.config import SSLConfig, DataConfig, ModelConfig, OptimConfig, RunConfig
@@ -140,6 +144,55 @@ def main():
     auc_ssl = probe_auc(trainer, "SSL-pretrained probe")
     print(f"RESULT: ssl {auc_ssl:.4f} vs random {auc_random:.4f} "
           f"({'PASS' if auc_ssl > auc_random else 'FAIL'})", flush=True)
+
+    if args.full_pipeline:
+        import jax
+
+        from sm3x.core.config import MLCTrainConfig, EvalConfig
+        from sm3x.train.mlc_train import MLCTrainer
+        from sm3x.train.mlc_eval import MLCEvalTrainer
+
+        ssl_params = jax.device_get(trainer.state.params)
+        ssl_stats = jax.device_get(trainer.state.batch_stats)
+        mcfg = MLCTrainConfig(
+            data=cfg.data,
+            model=ModelConfig(arch=args.arch, mlc_proj="v4", mlc_proj_dim=128,
+                              num_heads=1, sa_dim_ff=64, sa_dropout=0.1,
+                              temperature=1.0),
+            optim=OptimConfig(epochs=args.mlc_epochs,
+                              batch_size=args.batch_size, base_lr=1e-4,
+                              amp=True),
+            run=RunConfig(log_path=args.log_path + "/mlc", seed=0,
+                          save_freq=10000, ckpt_freq=10000, print_freq=1000),
+            kmeans_iters=10,
+        )
+        t0 = time.time()
+        mlc = MLCTrainer(mcfg, mesh=trainer.mesh,
+                         extractor_tree=(ssl_params, ssl_stats))
+        mlc.fit(train)
+        print(f"MLC {args.mlc_epochs} epochs in "
+              f"{(time.time() - t0) / 60:.1f} min", flush=True)
+
+        ecfg = EvalConfig(
+            data=cfg.data,
+            model=ModelConfig(arch=args.arch, mlc_proj="v4", mlc_proj_dim=128,
+                              num_heads=1, sa_dim_ff=64, sa_dropout=0.1,
+                              finetune="projector"),
+            optim=OptimConfig(epochs=args.eval_epochs,
+                              batch_size=args.batch_size, base_lr=1e-3,
+                              amp=True),
+            run=RunConfig(log_path=args.log_path + "/eval", seed=0,
+                          print_freq=1000),
+            train_sz=args.img_sz, test_sz=args.img_sz,
+        )
+        mlc_params = jax.device_get(mlc.state.params)
+        mlc_stats = jax.device_get(mlc.state.batch_stats)
+        ev = MLCEvalTrainer(ecfg, mesh=trainer.mesh,
+                            pretrained_tree=(mlc_params, mlc_stats))
+        best = ev.fit(train, test)
+        print(f"FULL-PIPELINE RESULT: supervised eval best AUC {best:.4f} "
+              f"vs linear probe {auc_ssl:.4f} vs random {auc_random:.4f}",
+              flush=True)
 
 
 if __name__ == "__main__":
