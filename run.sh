@@ -1,70 +1,67 @@
 #!/usr/bin/env bash
-# Full SM3 reproduction recipe on TPU (hyperparameters of the reference
-# run.sh; batch sizes are GLOBAL and split over the device mesh).
-set -e
+# sm3x full SM3 reproduction on TPU.
+#
+# All four stages with the reference hyperparameters (SURVEY §6 /
+# BASELINE.md training-cost table). Batch sizes are GLOBAL and are split
+# over the device mesh automatically; --world-size 2 reproduces the
+# reference's per-GPU contrastive-negative pools (it trained SSL on two
+# GPUs). Checkpoints are flax msgpack; pass a torchvision resnet50 .pth
+# via ARCH_WEIGHTS to reproduce the IMAGENET1K_V1 boot.
+set -euo pipefail
 
-DATA="./data/7PC"
-MEAN="0.7833 0.6712 0.6026"
-STD="0.2139 0.2472 0.2571"
+DATA="${DATA:-./data/7PC}"
+STATS=(--mean 0.7833 0.6712 0.6026 --std 0.2139 0.2472 0.2571)
+BASE=(-a resnet50 --data-name SevenPCBaseDataset --data-path "$DATA"
+      --img-sz 224 224 --num-labels 8 "${STATS[@]}")
+SSL_LOG="${SSL_LOG:-./logs/backbone}"
+MLC_LOG="${MLC_LOG:-./logs/mlc_train}"
+ARCH_WEIGHTS="${ARCH_WEIGHTS:-}"
 
-####################### stage 1: SSL pre-train ResNet-50
-LOG_PATH="./logs/backbone"
-python tools/backbone_train.py \
-    -a resnet50 --arch-version "v32" --data-name "SevenPCBaseDataset" --data-path "$DATA" \
-    --mean $MEAN --std $STD \
-    --epochs 400 -b 96 -lr 1e-6 \
-    --img-sz 224 224 \
-    --num-labels 8 \
-    --proj-dim 128 --temperature 0.1 \
-    --world-size 2 \
-    --log-path "${LOG_PATH}" \
-    --proj-name "sm3_r50_backbone" \
-    --amp
+stage1_ssl() {
+    local extra=()
+    [[ -n "$ARCH_WEIGHTS" ]] && extra+=(--arch-weights "$ARCH_WEIGHTS")
+    python tools/backbone_train.py "${BASE[@]}" \
+        --arch-version v32 --proj-dim 128 --temperature 0.1 \
+        --epochs 400 -b 96 -lr 1e-6 --world-size 2 --amp \
+        --log-path "$SSL_LOG" --proj-name sm3_r50_backbone "${extra[@]}"
+}
 
-####################### stage 1b: linear eval of SSL checkpoints
-EPOCHS=(49 99 149 199 249 299 349 399)
-for epoch in ${EPOCHS[@]}; do
-    python tools/backbone_eval.py \
-        -a resnet50 --data-name "SevenPCBaseDataset" --data-path "$DATA" \
-        --mean $MEAN --std $STD \
-        --epochs 50 -b 128 -lr 1e-3 \
-        --img-sz 224 224 \
-        --num-labels 8 \
-        --pretrain-path "${LOG_PATH}/ckp_${epoch}.msgpack" \
-        --finetune "fc" \
-        --log-path "${LOG_PATH}/test_${epoch}" \
-        --proj-name "sm3_r50_backbone_eval" --amp
-done
+stage1_eval() {  # linear eval of selected SSL checkpoints
+    local epoch
+    for epoch in 49 99 149 199 249 299 349 399; do
+        python tools/backbone_eval.py "${BASE[@]}" \
+            --epochs 50 -b 128 -lr 1e-3 --finetune fc --amp \
+            --pretrain-path "$SSL_LOG/ckp_${epoch}.msgpack" \
+            --log-path "$SSL_LOG/test_${epoch}" \
+            --proj-name sm3_r50_backbone_eval
+    done
+}
 
-####################### stage 2: MLC DeepCluster training
-LOG_PATH="./logs/mlc_train"
-python tools/mlc_train.py \
-    -a resnet50 --data-name "SevenPCBaseDataset" --data-path "$DATA" \
-    --mean $MEAN --std $STD \
-    --epochs 150 -b 256 -lr 1e-4 \
-    --img-sz 224 224 \
-    --num-labels 8 \
-    --temperature 1 \
-    --mlc-proj "v4" --mlc-proj-dim 512 \
-    --num-heads 1 --sa-dim-ff 128 --sa-dropout 0.1 \
-    --extractor-proj-dim 128 --extractor-weights "./logs/backbone/ckp_399.msgpack" \
-    --log-path "${LOG_PATH}" \
-    --proj-name "SM3_MLC_train_v4_r50"
-
-####################### stage 2b: supervised finetune/eval
-EPOCHS=(49 99 149)
-for epoch in ${EPOCHS[@]}; do
-    python tools/mlc_eval.py \
-        -a resnet50 --data-name "SevenPCBaseDataset" --data-path "$DATA" \
-        --mean $MEAN --std $STD \
-        --epochs 100 -b 128 -lr 1e-3 \
-        --img-sz 224 224 \
-        --num-labels 8 \
-        --mlc-proj "v4" --mlc-proj-dim 512 \
+stage2_mlc() {
+    python tools/mlc_train.py "${BASE[@]}" \
+        --epochs 150 -b 256 -lr 1e-4 --temperature 1 \
+        --mlc-proj v4 --mlc-proj-dim 512 \
         --num-heads 1 --sa-dim-ff 128 --sa-dropout 0.1 \
         --extractor-proj-dim 128 \
-        --pretrain-path "${LOG_PATH}/ckp_${epoch}.msgpack" \
-        --finetune "projector" \
-        --log-path "${LOG_PATH}/test_${epoch}" \
-        --proj-name "SM3_MLC_eval_v4_r50"
-done
+        --extractor-weights "$SSL_LOG/ckp_399.msgpack" \
+        --log-path "$MLC_LOG" --proj-name SM3_MLC_train_v4_r50
+}
+
+stage2_eval() {  # supervised finetune/eval of selected MLC checkpoints
+    local epoch
+    for epoch in 49 99 149; do
+        python tools/mlc_eval.py "${BASE[@]}" \
+            --epochs 100 -b 128 -lr 1e-3 --finetune projector \
+            --mlc-proj v4 --mlc-proj-dim 512 \
+            --num-heads 1 --sa-dim-ff 128 --sa-dropout 0.1 \
+            --extractor-proj-dim 128 \
+            --pretrain-path "$MLC_LOG/ckp_${epoch}.msgpack" \
+            --log-path "$MLC_LOG/test_${epoch}" \
+            --proj-name SM3_MLC_eval_v4_r50
+    done
+}
+
+stage1_ssl
+stage1_eval
+stage2_mlc
+stage2_eval
