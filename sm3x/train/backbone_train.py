@@ -98,7 +98,7 @@ class SSLTrainer:
             remat=m.use_checkpoint,
         )
         # per-device-negatives parity: world_size groups (SURVEY §2c)
-        data_shards = int(np.prod(self.mesh.devices.shape[0]))
+        data_shards = int(self.mesh.devices.shape[0])
         self.groups = cfg.run.world_size or data_shards
         if m.negatives == "global":
             self.groups = 1
@@ -155,6 +155,9 @@ class SSLTrainer:
         progress = ProgressMeter(n_steps, [batch_time, losses],
                                  prefix=f"Train epoch: [{epoch}]")
         end = time.time()
+        # defer scalar readbacks to the epoch end: a float() per step costs
+        # a full device->host round-trip (dominant on a tunneled TPU)
+        pending = []
         for it, batch in enumerate(
                 data.batches(cfg.optim.batch_size, epoch, cfg.run.seed)):
             rng = prng.step_rng(self.rng, epoch, it)
@@ -165,11 +168,13 @@ class SSLTrainer:
             self.state, metrics = self.train_step(
                 self.state, device_batch["derm"], device_batch["derm_hw"],
                 device_batch["clinic"], device_batch["clinic_hw"], rng)
-            losses.update(float(metrics["loss"]), batch.derm.shape[0])
+            pending.append((metrics["loss"], batch.derm.shape[0]))
             batch_time.update(time.time() - end)
             end = time.time()
-            if it % cfg.run.print_freq == 0:
+            if it % cfg.run.print_freq == 0 and it > 0:
                 self.logger.info(progress.display(it))
+        for loss, n in pending:
+            losses.update(float(loss), n)
         return {"loss": losses.avg}
 
     def save(self, path: str, epoch: int):
