@@ -211,6 +211,7 @@ class MLCTrainer:
         self.logger.info(f"Clustering for epoch {epoch} done.")
 
         losses = AverageMeter("Loss", ":.4f")
+        pending = []
         for it, batch in enumerate(
                 data.batches(cfg.optim.batch_size, epoch, cfg.run.seed)):
             rng = prng.step_rng(self.rng, epoch, it)
@@ -221,7 +222,9 @@ class MLCTrainer:
             self.state, self.bank, loss = self.train_step(
                 self.state, self.bank, db["derm"], db["derm_hw"],
                 db["clinic"], db["clinic_hw"], idx, assignments, rng)
-            losses.update(float(loss), batch.derm.shape[0])
+            pending.append((loss, batch.derm.shape[0]))
+        for loss, n in pending:  # deferred readback (one RTT, not per-step)
+            losses.update(float(loss), n)
         return {"loss": losses.avg}
 
     def fit(self, data):
