@@ -102,6 +102,16 @@ class StatWriter:
             except Exception:
                 pass
 
+    def define_summaries(self, summaries: dict):
+        """wandb define_metric summaries ({metric: "min"|"max"}, the
+        reference's define_wandb_summary, misc.py:238-241)."""
+        if self.wb:
+            for k, v in summaries.items():
+                try:
+                    self.wb.define_metric(k, summary=v)
+                except Exception:
+                    pass
+
     def log(self, stats: dict, step: int, prefix: str = ""):
         items = {f"{prefix}{k}": v for k, v in stats.items()}
         if self.tb:
