@@ -153,6 +153,13 @@ class MLCEvalTrainer:
                 f"Epoch {epoch}: train loss {tr['loss']:.4f}, "
                 f"val AUC_AVG {va['AUC_AVG']:.4f} (best {best_auc:.4f}) "
                 f"({(time.time() - t0) / 60:.2f} min)")
+            # full per-metric/per-label table (the reference prints it every
+            # epoch, mlc_eval.py:490-501) at DEBUG verbosity
+            from sm3x.utils import generate_stat_text
+
+            self.logger.debug(
+                "--------------------- Summary Statistics ----------------\n"
+                + generate_stat_text(tr, va, summary, METRICS_NAME, CLASSES_NAME))
         return best_auc
 
     def write_results(self, data, path: str):
