@@ -1,0 +1,107 @@
+"""Batched inference serving.
+
+The reference's public surface stops at a dummy forward (inference.py);
+for production serving this module adds a `Predictor` that:
+
+* jits ONE program per batch bucket (padding requests up to the bucket
+  size — no recompiles for odd batch sizes),
+* takes raw uint8 canvases (any aspect, letterboxed host-side or already
+  cached) and runs resize+normalize on device,
+* returns per-label softmax probabilities (B, C_i) per head.
+"""
+
+from __future__ import annotations
+
+import bisect
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sm3x import NUM_CLASSES
+from sm3x.core.cache import enable_compilation_cache
+from sm3x.ops.augment import eval_resize_batch
+from sm3x.data.pipeline import letterbox
+
+
+class Predictor:
+    """Serving wrapper around an MLCModel + loaded variables."""
+
+    def __init__(self, model, variables, mean, std, test_sz: int = 224,
+                 buckets: Sequence[int] = (1, 8, 32, 128),
+                 canvas: int = 320):
+        enable_compilation_cache()
+        self.model = model
+        self.variables = variables
+        self.mean = tuple(mean)
+        self.std = tuple(std)
+        self.test_sz = test_sz
+        self.buckets = sorted(buckets)
+        self.canvas = canvas
+
+        @jax.jit
+        def fwd(derm, derm_hw, clinic, clinic_hw):
+            d = eval_resize_batch(derm, derm_hw, self.mean, self.std,
+                                  (test_sz, test_sz))
+            c = eval_resize_batch(clinic, clinic_hw, self.mean, self.std,
+                                  (test_sz, test_sz))
+            _, preds = self.model.apply(self.variables, d, c)
+            return [jax.nn.softmax(p.astype(jnp.float32), axis=-1)
+                    for p in preds]
+
+        self._fwd = fwd
+
+    @classmethod
+    def from_checkpoint(cls, pretrain_path: str, arch: str = "resnet50",
+                        mean=(0.7833, 0.6712, 0.6026),
+                        std=(0.2139, 0.2472, 0.2571), **kw):
+        from inference import build_evaluator, load_weights
+
+        model = build_evaluator(arch=arch)
+        variables = load_weights(pretrain_path, arch)
+        return cls(model, variables, mean, std, **kw)
+
+    def _bucket(self, n: int) -> int:
+        i = bisect.bisect_left(self.buckets, n)
+        return self.buckets[min(i, len(self.buckets) - 1)]
+
+    def _canvases(self, images) -> tuple:
+        """images: list of HxWx3 uint8 arrays (any sizes) -> canvases+hw."""
+        n = len(images)
+        canv = np.zeros((n, self.canvas, self.canvas, 3), np.uint8)
+        hw = np.zeros((n, 2), np.int32)
+        for i, img in enumerate(images):
+            canv[i], (h, w) = letterbox(np.asarray(img)[:, :, :3], self.canvas)
+            hw[i] = (h, w)
+        return canv, hw
+
+    def predict(self, derm_images, clinic_images):
+        """Lists of uint8 RGB arrays -> list of 8 (B, C_i) probability
+        arrays (padding trimmed)."""
+        assert len(derm_images) == len(clinic_images)
+        n = len(derm_images)
+        b = self._bucket(n)
+        dc, dhw = self._canvases(derm_images)
+        cc, chw = self._canvases(clinic_images)
+
+        def pad(x):
+            reps = [(0, b - n)] + [(0, 0)] * (x.ndim - 1)
+            return np.pad(x, reps, mode="edge") if n < b else x
+
+        # chunk oversized requests through the largest bucket
+        if n > b:
+            outs = None
+            for s in range(0, n, b):
+                part = self.predict(derm_images[s:s + b],
+                                    clinic_images[s:s + b])
+                outs = part if outs is None else [
+                    np.concatenate([a, c]) for a, c in zip(outs, part)]
+            return outs
+
+        preds = self._fwd(jnp.asarray(pad(dc)), jnp.asarray(pad(dhw)),
+                          jnp.asarray(pad(cc)), jnp.asarray(pad(chw)))
+        return [np.asarray(p)[:n] for p in preds]
+
+
+__all__ = ["Predictor"]
