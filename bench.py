@@ -42,11 +42,14 @@ def main():
     n_chips = len(jax.devices())
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    extra = set(sys.argv[3:])
 
     cfg = SSLConfig(
         data=DataConfig(img_sz=(224, 224), cache_size=320),
         model=ModelConfig(arch="resnet50", arch_version="v32", proj_dim=128,
-                          temperature=0.1),
+                          temperature=0.1,
+                          use_pallas_augment="no_pallas_aug" not in extra,
+                          use_pallas_ntxent="pallas_ntxent" in extra),
         optim=OptimConfig(epochs=1, batch_size=batch, base_lr=1e-6, amp=True),
         run=RunConfig(log_path="/tmp/sm3x_bench", seed=0),
     )
@@ -63,16 +66,17 @@ def main():
         trainer.state = state
         return metrics
 
-    # warmup / compile
-    m = step(0)
-    jax.block_until_ready(m["loss"])
-    m = step(1)
-    jax.block_until_ready(m["loss"])
+    # warmup / compile. Sync via float() value reads: on the axon tunnel
+    # block_until_ready can return before execution drains (it reported a
+    # 40x-too-fast step once a pallas_call entered the graph); a scalar
+    # readback is an unconditional barrier since execution is FIFO.
+    float(step(0)["loss"])
+    float(step(1)["loss"])
 
     t0 = time.perf_counter()
     for i in range(steps):
         m = step(i + 2)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     dt = time.perf_counter() - t0
 
     # 4 augmented 224x224 encoder images per paired sample per step

@@ -110,6 +110,8 @@ def ssl_config(args) -> SSLConfig:
         arch_weights=args.arch_weights, proj_dim=args.proj_dim,
         temperature=args.temperature, use_checkpoint=args.use_checkpoint,
         num_labels=args.num_labels,
+        use_pallas_ntxent=getattr(args, "use_pallas_ntxent", False),
+        use_pallas_augment=getattr(args, "use_pallas_augment", False),
     )
     return SSLConfig(data=data, model=model, optim=optim, run=run,
                      modality_weights=tuple(args.modality_weights))

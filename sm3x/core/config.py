@@ -52,6 +52,9 @@ class ModelConfig:
     num_classes: Tuple[int, ...] = tuple(NUM_CLASSES)
     # route NT-Xent through the fused Pallas TPU kernel
     use_pallas_ntxent: bool = False
+    # route the photometric augmentation chain through the fused Pallas
+    # kernel (sm3x.ops.augment_pallas) — single HBM round-trip per image
+    use_pallas_augment: bool = False
     # NT-Xent negatives semantics (SURVEY §2c): the reference keeps
     # negatives local to each device's sub-batch. "local" reproduces that
     # by splitting the global batch into `world_size` groups; "global"

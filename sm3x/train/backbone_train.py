@@ -28,13 +28,21 @@ from sm3x.utils import AverageMeter, ProgressMeter, setup_logger, save_checkpoin
 
 
 def make_ssl_train_step(model, style: int, temperature: float, groups: int,
-                        mean, std, aug_cfg=SSL_AUG, use_pallas: bool = False):
+                        mean, std, aug_cfg=SSL_AUG, use_pallas: bool = False,
+                        use_pallas_aug: bool = False, mesh=None):
     """Returns jitted (state, canvases..., rng) -> (state, metrics)."""
+
+    if use_pallas_aug:
+        from sm3x.ops.augment_pallas import ssl_augment_batch_fused
+
+        _aug = partial(ssl_augment_batch_fused, mesh=mesh)
+    else:
+        _aug = ssl_augment_batch
 
     def augment_views(rng, canvases, hw):
         k1, k2 = jax.random.split(rng)
-        v1 = ssl_augment_batch(k1, canvases, hw, mean, std, aug_cfg)
-        v2 = ssl_augment_batch(k2, canvases, hw, mean, std, aug_cfg)
+        v1 = _aug(k1, canvases, hw, mean, std, aug_cfg)
+        v2 = _aug(k2, canvases, hw, mean, std, aug_cfg)
         return v1, v2
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -144,7 +152,8 @@ class SSLTrainer:
         self.train_step = make_ssl_train_step(
             self.model, self.style, m.temperature, self.groups,
             tuple(cfg.data.mean), tuple(cfg.data.std), aug_cfg,
-            use_pallas=m.use_pallas_ntxent)
+            use_pallas=m.use_pallas_ntxent,
+            use_pallas_aug=m.use_pallas_augment, mesh=self.mesh)
         self.start_epoch = 0
 
     def train_epoch(self, data, epoch: int) -> dict:

@@ -23,7 +23,11 @@ def tiny_cfg(tmp_path_factory):
         model=ModelConfig(arch="resnet18", arch_version="v32", proj_dim=32,
                           temperature=0.1),
         optim=OptimConfig(epochs=1, batch_size=8, base_lr=1e-3, amp=False),
-        run=RunConfig(log_path=str(log), seed=0),
+        # world_size=2 -> 4 samples per negative group. With the default
+        # (groups = 8 mesh devices) each group holds ONE sample and NT-Xent
+        # degenerates to exactly 0 (positive is the only logit), which made
+        # the loss-decreases assert vacuous fp-noise.
+        run=RunConfig(log_path=str(log), seed=0, world_size=2),
     )
 
 
@@ -54,5 +58,9 @@ def test_ssl_train_step_loss_decreases(tiny_cfg, trainer):
 
 
 def test_ssl_groups_match_world_size(tiny_cfg, trainer):
-    # local-negative parity: groups = mesh data-axis size by default
-    assert trainer.groups == trainer.mesh.devices.shape[0]
+    # explicit world_size wins; without it groups = mesh data-axis size
+    assert trainer.groups == 2
+    cfg = dataclasses.replace(
+        tiny_cfg, run=dataclasses.replace(tiny_cfg.run, world_size=None))
+    t2 = SSLTrainer(cfg)
+    assert t2.groups == t2.mesh.devices.shape[0]

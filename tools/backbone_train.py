@@ -31,6 +31,10 @@ def main():
     parser.add_argument("--label-weights", nargs="*", type=float,
                         default=[1.0] * 8)
     parser.add_argument("--use-checkpoint", action="store_true")
+    parser.add_argument("--use-pallas-ntxent", action="store_true",
+                        help="fused Pallas NT-Xent kernel in the SSL loss")
+    parser.add_argument("--use-pallas-augment", action="store_true",
+                        help="fused Pallas photometric augmentation kernel")
     parser.add_argument("--linear-probe", action="store_true",
                         help="run the in-tool linear probe after training "
                         "(backbone_train.py:293-426; disabled at :607 in "
