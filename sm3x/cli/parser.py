@@ -57,6 +57,12 @@ def get_parser(desc: str = "sm3x training") -> argparse.ArgumentParser:
     p.add_argument("--save-freq", type=int, default=50)
     p.add_argument("--ckpt-freq", type=int, default=1,
                    help="rolling checkpoint cadence (epochs)")
+    p.add_argument("--ckpt-backend", choices=("msgpack", "orbax"),
+                   default="msgpack",
+                   help="rolling-state backend: single-file msgpack or "
+                   "async orbax CheckpointManager (keep-last-k)")
+    p.add_argument("--ckpt-keep", type=int, default=3,
+                   help="orbax max_to_keep")
     p.add_argument("--print-freq", type=int, default=50)
     p.add_argument("--amp", action="store_true",
                    help="bf16 compute (TPU analogue of CUDA fp16 AMP)")
@@ -92,6 +98,8 @@ def base_configs(args) -> tuple:
     run = RunConfig(
         seed=args.seed, workers=args.workers, save_freq=args.save_freq,
         ckpt_freq=getattr(args, "ckpt_freq", 1),
+        ckpt_backend=getattr(args, "ckpt_backend", "msgpack"),
+        ckpt_keep=getattr(args, "ckpt_keep", 3),
         print_freq=args.print_freq, resume_path=args.resume_path,
         pretrain_path=args.pretrain_path, log_path=args.log_path,
         logger_name=args.logger_name, tensorboard=args.tensorboard,

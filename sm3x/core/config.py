@@ -84,6 +84,10 @@ class RunConfig:
     workers: int = 8
     save_freq: int = 50
     ckpt_freq: int = 1  # rolling checkpoint.msgpack cadence (epochs)
+    # "msgpack" (single-file, default) or "orbax" (async CheckpointManager
+    # with keep-last-k retention, multi-host-safe) for the rolling state
+    ckpt_backend: str = "msgpack"
+    ckpt_keep: int = 3  # orbax max_to_keep
     print_freq: int = 50
     resume_path: Optional[str] = None
     pretrain_path: Optional[str] = None

@@ -68,7 +68,11 @@ class OrbaxManager:
         )
 
     def save(self, step: int, tree):
-        self.manager.save(step, args=self._ocp.args.StandardSave(_to_host(tree)))
+        # flax state-dict form first: pure nested dicts round-trip through
+        # orbax; raw optax NamedTuples come back as lists with None leaves
+        # that `restore_into` cannot consume
+        state = serialization.to_state_dict(_to_host(tree))
+        self.manager.save(step, args=self._ocp.args.StandardSave(state))
 
     def restore(self, step: Optional[int] = None):
         step = self.manager.latest_step() if step is None else step

@@ -77,3 +77,41 @@ def test_orbax_manager_roundtrip(tmp_path):
     out = mgr.restore()
     np.testing.assert_array_equal(out["params"]["w"], np.ones(4, np.float32))
     mgr.close()
+
+
+def test_ssl_trainer_orbax_backend_resume(tmp_path):
+    """SSLTrainer with ckpt_backend=orbax: async epoch saves land in
+    orbax_ckpt/, and a fresh trainer resumes params + epoch from them."""
+    import dataclasses
+
+    import jax
+    from sm3x.core.config import (SSLConfig, DataConfig, ModelConfig,
+                                  OptimConfig, RunConfig)
+    from sm3x.data.datasets import build_dataset
+    from sm3x.data.synthetic import make_fake_derm7pt
+    from sm3x.train.backbone_train import SSLTrainer
+
+    root = str(tmp_path / "data")
+    make_fake_derm7pt(root, n_cases=8, img_size=56)
+    cfg = SSLConfig(
+        data=DataConfig(img_sz=(48, 48)),
+        model=ModelConfig(arch="resnet18", arch_version="v32", proj_dim=16,
+                          temperature=0.1),
+        optim=OptimConfig(epochs=2, batch_size=8, base_lr=1e-3, amp=False),
+        run=RunConfig(log_path=str(tmp_path), seed=0, world_size=2,
+                      ckpt_backend="orbax", ckpt_freq=1, save_freq=100),
+    )
+    data = build_dataset("SevenPCBaseDataset", root, "train", cache_size=64)
+    t1 = SSLTrainer(cfg)
+    t1.fit(data)
+    odir = os.path.join(str(tmp_path), "orbax_ckpt")
+    assert os.path.isdir(odir)
+
+    cfg2 = dataclasses.replace(
+        cfg, run=dataclasses.replace(cfg.run, log_path=str(tmp_path / "r2")))
+    t2 = SSLTrainer(cfg2)
+    assert t2.resume_from_orbax(odir)
+    assert t2.start_epoch == 2
+    w1 = jax.tree.leaves(t1.state.params)[0]
+    w2 = jax.tree.leaves(t2.state.params)[0]
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))

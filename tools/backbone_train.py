@@ -56,7 +56,13 @@ def main():
                              workers=cfg.run.workers)
         logger.info(f"Building train data done with {data.n} images loaded.")
         trainer = SSLTrainer(cfg, logger=logger)
-        if cfg.run.resume_path:
+        if cfg.run.resume_path and os.path.isdir(cfg.run.resume_path):
+            # an orbax_ckpt directory from a previous run
+            if not trainer.resume_from_orbax(cfg.run.resume_path):
+                logger.warning(
+                    f"no orbax steps in '{cfg.run.resume_path}'")
+                sys.exit(1)
+        elif cfg.run.resume_path:
             from sm3x.utils import restart_from_checkpoint
             from sm3x.utils.checkpoint import restore_into
 
