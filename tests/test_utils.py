@@ -105,3 +105,25 @@ def test_step_timer():
     t.step_done()
     s = t.summary()
     assert s["data_time"] > 0 and s["step_time"] > 0
+
+
+def test_statwriter_tensorboard_roundtrip(tmp_path):
+    """The TB sink writes real event files a reader can load back."""
+    from sm3x.utils.logging import StatWriter
+
+    w = StatWriter(str(tmp_path), tensorboard=True)
+    assert w.tb is not None, "torch.utils.tensorboard should be available"
+    w.log({"loss": 1.5, "acc": 0.25}, step=0, prefix="train/")
+    w.log({"loss": 1.0, "acc": 0.50}, step=1, prefix="train/")
+    w.close()
+
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator)
+    tb_dir = os.path.join(str(tmp_path), "tb_log")
+    acc = EventAccumulator(tb_dir)
+    acc.Reload()
+    assert "train/loss" in acc.Tags()["scalars"]
+    vals = [e.value for e in acc.Scalars("train/loss")]
+    assert vals == [1.5, 1.0]
+    steps = [e.step for e in acc.Scalars("train/acc")]
+    assert steps == [0, 1]
