@@ -64,6 +64,9 @@ def get_parser(desc: str = "sm3x training") -> argparse.ArgumentParser:
     p.add_argument("--ckpt-keep", type=int, default=3,
                    help="orbax max_to_keep")
     p.add_argument("--print-freq", type=int, default=50)
+    p.add_argument("--use-pallas-augment", action="store_true",
+                   help="fused Pallas photometric augmentation kernel "
+                   "(one HBM round-trip per image)")
     p.add_argument("--amp", action="store_true",
                    help="bf16 compute (TPU analogue of CUDA fp16 AMP)")
     p.add_argument("--resume-path", type=str, default=None)
@@ -134,6 +137,7 @@ def mlc_train_config(args) -> MLCTrainConfig:
         sa_dim_ff=args.sa_dim_ff, sa_dropout=args.sa_dropout,
         temperature=args.temperature, l2_norm=args.l2_norm,
         finetune_backbone=args.finetune_backbone,
+        use_pallas_augment=getattr(args, "use_pallas_augment", False),
     )
     return MLCTrainConfig(data=data, model=model, optim=optim, run=run,
                           extractor_weights=args.extractor_weights)
@@ -152,6 +156,7 @@ def eval_config(args, train_sz=None, test_sz=None) -> EvalConfig:
         sa_dropout=getattr(args, "sa_dropout", 0.1),
         l2_norm=getattr(args, "l2_norm", False),
         init_prototype=getattr(args, "init_prototype", False),
+        use_pallas_augment=getattr(args, "use_pallas_augment", False),
     )
     return EvalConfig(
         data=data, model=model, optim=optim, run=run,

@@ -317,6 +317,17 @@ def supervised_augment_batch(rng, canvases, valid_hw, mean, std, cfg: AugConfig 
     return ssl_augment_batch(rng, canvases, valid_hw, mean, std, cfg)
 
 
+def get_ssl_augment_fn(use_pallas: bool = False, mesh=None):
+    """Pick the augmentation implementation for a train step: the XLA
+    chain, or the fused Pallas photometric kernel (shard_map-wrapped on a
+    data-sharded mesh). Same sampling distributions either way."""
+    if use_pallas:
+        from sm3x.ops.augment_pallas import ssl_augment_batch_fused
+
+        return partial(ssl_augment_batch_fused, mesh=mesh)
+    return ssl_augment_batch
+
+
 def multicrop_augment_batch(rng, canvases, valid_hw, mean, std,
                             size_crops=(224, 96), nmb_crops=(2, 6),
                             min_scale_crops=(0.5, 0.14),

@@ -99,10 +99,13 @@ class BackboneEvalTrainer:
                 {"params": params, "batch_stats": batch_stats}, d, c, train=False)
 
         aug = dataclasses.replace(PROBE_AUG, out_size=tuple(cfg.data.img_sz))
+        from sm3x.ops.augment import get_ssl_augment_fn
+
         self.train_step, self.eval_step = make_supervised_steps(
             apply_train, apply_eval, cfg.optim.label_weights,
             tuple(cfg.data.mean), tuple(cfg.data.std), aug,
-            tuple(cfg.data.img_sz))
+            tuple(cfg.data.img_sz),
+            aug_fn=get_ssl_augment_fn(m.use_pallas_augment, self.mesh))
 
     def fit(self, train_data, val_data):
         cfg = self.cfg

@@ -32,12 +32,9 @@ def make_ssl_train_step(model, style: int, temperature: float, groups: int,
                         use_pallas_aug: bool = False, mesh=None):
     """Returns jitted (state, canvases..., rng) -> (state, metrics)."""
 
-    if use_pallas_aug:
-        from sm3x.ops.augment_pallas import ssl_augment_batch_fused
+    from sm3x.ops.augment import get_ssl_augment_fn
 
-        _aug = partial(ssl_augment_batch_fused, mesh=mesh)
-    else:
-        _aug = ssl_augment_batch
+    _aug = get_ssl_augment_fn(use_pallas_aug, mesh)
 
     def augment_views(rng, canvases, hw):
         k1, k2 = jax.random.split(rng)

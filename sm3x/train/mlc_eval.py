@@ -114,10 +114,13 @@ class MLCEvalTrainer:
 
         aug = dataclasses.replace(
             FINETUNE_AUG, out_size=(cfg.train_sz, cfg.train_sz))
+        from sm3x.ops.augment import get_ssl_augment_fn
+
         self.train_step, self.eval_step = make_supervised_steps(
             apply_train, apply_eval, cfg.optim.label_weights,
             tuple(cfg.data.mean), tuple(cfg.data.std), aug,
-            (cfg.test_sz, cfg.test_sz))
+            (cfg.test_sz, cfg.test_sz),
+            aug_fn=get_ssl_augment_fn(m.use_pallas_augment, self.mesh))
 
     def fit(self, train_data, val_data):
         cfg = self.cfg

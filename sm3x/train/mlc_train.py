@@ -36,13 +36,13 @@ from sm3x.utils import AverageMeter, setup_logger, save_checkpoint
 
 
 def make_mlc_train_step(model, temperature: float, mean, std, aug_cfg,
-                        finetune_backbone: bool):
+                        finetune_backbone: bool, aug_fn=ssl_augment_batch):
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(state, bank, derm, derm_hw, clinic, clinic_hw,
                    index, assignments, rng):
         kd, kc, kdrop = jax.random.split(rng, 3)
-        d = ssl_augment_batch(kd, derm, derm_hw, mean, std, aug_cfg)
-        c = ssl_augment_batch(kc, clinic, clinic_hw, mean, std, aug_cfg)
+        d = aug_fn(kd, derm, derm_hw, mean, std, aug_cfg)
+        c = aug_fn(kc, clinic, clinic_hw, mean, std, aug_cfg)
 
         def loss_fn(params):
             (sa, preds), mut = model.apply(
@@ -71,15 +71,15 @@ def make_mlc_train_step(model, temperature: float, mean, std, aug_cfg,
     return train_step
 
 
-def make_embed_step(model, mean, std, aug_cfg):
+def make_embed_step(model, mean, std, aug_cfg, aug_fn=ssl_augment_batch):
     """init_memory pass (mlc_train.py:92-113): train-mode modules (the
     reference never switches to eval before the init pass), no gradient."""
 
     @jax.jit
     def embed(params, batch_stats, derm, derm_hw, clinic, clinic_hw, rng):
         kd, kc, kdrop = jax.random.split(rng, 3)
-        d = ssl_augment_batch(kd, derm, derm_hw, mean, std, aug_cfg)
-        c = ssl_augment_batch(kc, clinic, clinic_hw, mean, std, aug_cfg)
+        d = aug_fn(kd, derm, derm_hw, mean, std, aug_cfg)
+        c = aug_fn(kc, clinic, clinic_hw, mean, std, aug_cfg)
         (sa, _), mut = model.apply(
             {"params": params, "batch_stats": batch_stats}, d, c,
             extractor_train=True, head_train=True, stop_extractor_grad=True,
@@ -172,11 +172,15 @@ class MLCTrainer:
         )
 
         aug_cfg = dataclasses.replace(MLC_TRAIN_AUG, out_size=tuple(cfg.data.img_sz))
+        from sm3x.ops.augment import get_ssl_augment_fn
+
+        aug_fn = get_ssl_augment_fn(m.use_pallas_augment, self.mesh)
         self.train_step = make_mlc_train_step(
             self.model, m.temperature, tuple(cfg.data.mean), tuple(cfg.data.std),
-            aug_cfg, m.finetune_backbone)
+            aug_cfg, m.finetune_backbone, aug_fn=aug_fn)
         self.embed_step = make_embed_step(
-            self.model, tuple(cfg.data.mean), tuple(cfg.data.std), aug_cfg)
+            self.model, tuple(cfg.data.mean), tuple(cfg.data.std), aug_cfg,
+            aug_fn=aug_fn)
         self.bank = None
 
     def init_memory(self, data):

@@ -31,15 +31,15 @@ def make_supervised_steps(
     apply_train: Callable,   # (params, batch_stats, d, c, dropout_rng) -> (preds, new_stats)
     apply_eval: Callable,    # (params, batch_stats, d, c) -> preds
     label_weights: Sequence[float],
-    mean, std, train_aug, eval_size=(224, 224),
+    mean, std, train_aug, eval_size=(224, 224), aug_fn=ssl_augment_batch,
 ):
     label_weights = tuple(float(w) for w in label_weights)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, derm, derm_hw, clinic, clinic_hw, labels, rng):
         kd, kc, kdrop = jax.random.split(rng, 3)
-        d = ssl_augment_batch(kd, derm, derm_hw, mean, std, train_aug)
-        c = ssl_augment_batch(kc, clinic, clinic_hw, mean, std, train_aug)
+        d = aug_fn(kd, derm, derm_hw, mean, std, train_aug)
+        c = aug_fn(kc, clinic, clinic_hw, mean, std, train_aug)
 
         def loss_fn(params):
             preds, new_stats = apply_train(params, state.batch_stats, d, c, kdrop)

@@ -151,3 +151,23 @@ def test_mlc_eval_finetune_all_stem_frozen(fake_data, tmp_path):
                         jax.tree.leaves(enc1["layer4_1"]))
     ]
     assert any(moved)
+
+
+def test_mlc_trainer_with_pallas_augment(fake_data, tmp_path):
+    """MLC embed + train steps run with the fused Pallas augmentation
+    (interpret mode on the CPU mesh), losses finite."""
+    from sm3x.train.mlc_train import MLCTrainer
+
+    train, _ = fake_data
+    cfg = MLCTrainConfig(
+        data=DataConfig(img_sz=(48, 48)),
+        model=_model_cfg(temperature=1.0, use_pallas_augment=True),
+        optim=OptimConfig(epochs=1, batch_size=8, base_lr=1e-3, amp=False),
+        run=RunConfig(log_path=str(tmp_path), seed=0, save_freq=100),
+        kmeans_iters=2,
+    )
+    trainer = MLCTrainer(cfg)
+    trainer.init_memory(train)
+    assert np.isfinite(np.asarray(trainer.bank)).all()
+    stat = trainer.train_epoch(train, epoch=0)
+    assert np.isfinite(stat["loss"])

@@ -33,8 +33,6 @@ def main():
     parser.add_argument("--use-checkpoint", action="store_true")
     parser.add_argument("--use-pallas-ntxent", action="store_true",
                         help="fused Pallas NT-Xent kernel in the SSL loss")
-    parser.add_argument("--use-pallas-augment", action="store_true",
-                        help="fused Pallas photometric augmentation kernel")
     parser.add_argument("--linear-probe", action="store_true",
                         help="run the in-tool linear probe after training "
                         "(backbone_train.py:293-426; disabled at :607 in "
