@@ -64,3 +64,30 @@ def test_ssl_groups_match_world_size(tiny_cfg, trainer):
         tiny_cfg, run=dataclasses.replace(tiny_cfg.run, world_size=None))
     t2 = SSLTrainer(cfg)
     assert t2.groups == t2.mesh.devices.shape[0]
+
+
+def test_ssl_train_step_deterministic(tiny_cfg, trainer):
+    """Same state + same rng -> bitwise-identical loss (donation-safe via
+    explicit state copies); different step rng -> different loss."""
+    import jax.numpy as jnp
+    from sm3x.data.synthetic import synthetic_canvas_batch
+
+    canvases, hw, _ = synthetic_canvas_batch(8, canvas=64, seed=1)
+    db = shard_batch(trainer.mesh, {
+        "derm": canvases, "derm_hw": hw, "clinic": canvases, "clinic_hw": hw})
+
+    # re-jit the step body WITHOUT donation so the same state can be
+    # passed repeatedly (trainer.train_step donates its state argument)
+    step = jax.jit(trainer.train_step.__wrapped__)
+    s = trainer.state
+    rng = prng.step_rng(trainer.rng, 0, 0)
+    _, m1 = step(s, db["derm"], db["derm_hw"],
+                 db["clinic"], db["clinic_hw"], rng)
+    _, m2 = step(s, db["derm"], db["derm_hw"],
+                 db["clinic"], db["clinic_hw"], rng)
+    assert float(m1["loss"]) == float(m2["loss"])
+
+    rng2 = prng.step_rng(trainer.rng, 0, 1)
+    _, m3 = step(s, db["derm"], db["derm_hw"],
+                 db["clinic"], db["clinic_hw"], rng2)
+    assert float(m3["loss"]) != float(m1["loss"])
