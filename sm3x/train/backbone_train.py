@@ -21,7 +21,7 @@ from sm3x.core.cache import enable_compilation_cache
 from sm3x.core.mesh import make_mesh, shard_batch, replicate
 from sm3x.losses.ssl import ssl_loss
 from sm3x.models.simclr import build_ssl_model
-from sm3x.ops.augment import SSL_AUG, ssl_augment_batch
+from sm3x.ops.augment import SSL_AUG, get_ssl_augment_fn
 from sm3x.train import common
 from sm3x.utils.logging import StatWriter
 from sm3x.utils import AverageMeter, ProgressMeter, setup_logger, save_checkpoint
@@ -31,8 +31,6 @@ def make_ssl_train_step(model, style: int, temperature: float, groups: int,
                         mean, std, aug_cfg=SSL_AUG, use_pallas: bool = False,
                         use_pallas_aug: bool = False, mesh=None):
     """Returns jitted (state, canvases..., rng) -> (state, metrics)."""
-
-    from sm3x.ops.augment import get_ssl_augment_fn
 
     _aug = get_ssl_augment_fn(use_pallas_aug, mesh)
 
