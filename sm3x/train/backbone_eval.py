@@ -44,7 +44,7 @@ def _device_wrap(data, mesh):
     return data
 
 
-class BackboneEvalTrainer:
+class BackboneEvalTrainer(common.CheckpointableTrainer):
     def __init__(self, cfg, mesh=None, logger=None, encoder_tree=None):
         enable_compilation_cache()
         self.cfg = cfg
@@ -107,28 +107,41 @@ class BackboneEvalTrainer:
             tuple(cfg.data.img_sz),
             aug_fn=get_ssl_augment_fn(m.use_pallas_augment, self.mesh))
 
+        self.best_auc = 0.0
+
+    def _state_tree(self, epoch: int):
+        tree = super()._state_tree(epoch)
+        tree["best_val_auc"] = self.best_auc
+        return tree
+
+    def _restore_state_tree(self, tree):
+        super()._restore_state_tree(tree)
+        self.best_auc = float(tree.get("best_val_auc", 0.0))
+
     def fit(self, train_data, val_data):
         cfg = self.cfg
         train_data = _device_wrap(train_data, self.mesh)
         val_data = _device_wrap(val_data, self.mesh)
-        best_auc = 0.0
-        for epoch in range(cfg.optim.epochs):
+        best_auc = self.best_auc
+        for epoch in range(self.start_epoch, cfg.optim.epochs):
             t0 = time.time()
             tr = run_train_epoch(self, train_data, epoch)
             va = run_eval_epoch(self, val_data, epoch)
             self.writer.log(tr, epoch, "train/")
             self.writer.log(va, epoch, "val/")
             if va["AUC_AVG"] > best_auc:
-                best_auc = va["AUC_AVG"]
+                best_auc = self.best_auc = va["AUC_AVG"]
                 save_checkpoint(
                     os.path.join(cfg.run.log_path, "best_eval.msgpack"),
                     {"epoch": epoch + 1, "params": self.state.params,
                      "batch_stats": self.state.batch_stats,
                      "best_val_auc": best_auc})
+            self.epoch_checkpoint(epoch)
             self.logger.info(
                 f"Epoch {epoch}: train loss {tr['loss']:.4f}, "
                 f"val AUC_AVG {va['AUC_AVG']:.4f} (best {best_auc:.4f}) "
                 f"({(time.time() - t0) / 60:.2f} min)")
+        self.finish_checkpoints()
         return best_auc
 
     def write_results(self, data, path: str):

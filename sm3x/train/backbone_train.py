@@ -80,7 +80,7 @@ def _device_wrap(data, mesh):
     return data
 
 
-class SSLTrainer:
+class SSLTrainer(common.CheckpointableTrainer):
     """Owns mesh/model/state and the epoch loop (reference main,
     backbone_train.py:429-608)."""
 
@@ -181,62 +181,14 @@ class SSLTrainer:
             losses.update(float(loss), n)
         return {"loss": losses.avg}
 
-    def _state_tree(self, epoch: int):
-        return {
-            "epoch": epoch + 1,
-            "params": self.state.params,
-            "batch_stats": self.state.batch_stats,
-            "opt_state": self.state.opt_state,
-        }
-
     def save(self, path: str, epoch: int):
         save_checkpoint(path, self._state_tree(epoch))
-
-    def _ckpt_manager(self):
-        """Lazy OrbaxManager when run.ckpt_backend == 'orbax' (async saves,
-        keep-last-k; SURVEY §5 'Orbax checkpoint-manager with --resume
-        parity'). The msgpack rolling file is skipped in that mode; the
-        ckp_{N}.msgpack milestones stay (cross-stage surgery reads them)."""
-        if getattr(self, "_orbax", None) is None:
-            import os
-
-            from sm3x.utils.checkpoint import OrbaxManager
-
-            self._orbax = OrbaxManager(
-                os.path.join(self.cfg.run.log_path, "orbax_ckpt"),
-                max_to_keep=self.cfg.run.ckpt_keep)
-        return self._orbax
-
-    def resume_from_orbax(self, directory=None) -> bool:
-        """Restore the latest orbax step into the live state (from this
-        run's manager, or an explicit prior run's `orbax_ckpt` dir).
-        Returns whether anything was restored."""
-        from sm3x.utils.checkpoint import OrbaxManager, restore_into
-
-        if directory is not None:
-            mgr = OrbaxManager(directory, max_to_keep=self.cfg.run.ckpt_keep)
-        else:
-            mgr = self._ckpt_manager()
-        tree = mgr.restore()
-        if tree is None:
-            return False
-        self.state = self.state.replace(
-            params=restore_into(self.state.params, tree["params"]),
-            batch_stats=restore_into(self.state.batch_stats,
-                                     tree["batch_stats"]),
-            opt_state=restore_into(self.state.opt_state, tree["opt_state"]))
-        self.start_epoch = int(tree["epoch"])
-        self.logger.info(f"resumed from orbax step {mgr.latest_step()} "
-                         f"(epoch {self.start_epoch})")
-        return True
 
     def fit(self, data):
         cfg = self.cfg
         import os
 
         data = _device_wrap(data, self.mesh)
-        use_orbax = cfg.run.ckpt_backend == "orbax"
-
         for epoch in range(self.start_epoch, cfg.optim.epochs):
             t0 = time.time()
             stat = self.train_epoch(data, epoch)
@@ -244,16 +196,9 @@ class SSLTrainer:
             self.logger.info(
                 f"Epoch {epoch}: loss {stat['loss']:.4f} "
                 f"({(time.time() - t0) / 60:.2f} min)")
-            if (epoch + 1) % max(cfg.run.ckpt_freq, 1) == 0:
-                if use_orbax:
-                    self._ckpt_manager().save(epoch + 1,
-                                              self._state_tree(epoch))
-                else:
-                    ckpt = os.path.join(cfg.run.log_path, "checkpoint.msgpack")
-                    self.save(ckpt, epoch)
+            self.epoch_checkpoint(epoch)
             if (epoch + 1) % cfg.run.save_freq == 0 or (epoch + 1) == cfg.optim.epochs:
                 self.save(os.path.join(cfg.run.log_path, f"ckp_{epoch}.msgpack"),
                           epoch)
-        if use_orbax:
-            self._ckpt_manager().wait()
+        self.finish_checkpoints()
         return self.state

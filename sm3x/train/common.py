@@ -118,3 +118,117 @@ def warmup_cosine_schedule(base_lr: float, final_lr: float, warmup_epochs: int,
         decay_steps=max(total, 2),
         end_value=final_lr,
     )
+
+
+# ----------------------------------------------------------------------------
+# Checkpoint backend shared by all trainers (SURVEY §5 checkpoint/resume)
+# ----------------------------------------------------------------------------
+
+class CheckpointableTrainer:
+    """Mixin giving every trainer the opt-in Orbax backend
+    (``run.ckpt_backend == 'orbax'``: async epoch saves under
+    ``<log_path>/orbax_ckpt`` with keep-last-k retention) plus uniform
+    msgpack resume. A trainer provides ``_state_tree(epoch)`` /
+    ``_restore_state_tree(tree)`` describing its full training state;
+    the mixin owns the manager lifecycle and the resume dispatch."""
+
+    _orbax = None
+    start_epoch: int = 0
+
+    @property
+    def use_orbax(self) -> bool:
+        return self.cfg.run.ckpt_backend == "orbax"
+
+    def _state_tree(self, epoch: int) -> dict:
+        return {
+            "epoch": epoch + 1,
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+        }
+
+    def _restore_state_tree(self, tree: dict):
+        from sm3x.utils.checkpoint import restore_into
+
+        opt_state = self.state.opt_state
+        if "opt_state" in tree:
+            opt_state = restore_into(opt_state, tree["opt_state"])
+        self.state = self.state.replace(
+            params=restore_into(self.state.params, tree["params"]),
+            batch_stats=restore_into(self.state.batch_stats,
+                                     tree["batch_stats"]),
+            opt_state=opt_state)
+        self.start_epoch = int(tree.get("epoch", 0))
+
+    def _ckpt_manager(self):
+        import os
+
+        from sm3x.utils.checkpoint import OrbaxManager
+
+        if self._orbax is None:
+            self._orbax = OrbaxManager(
+                os.path.join(self.cfg.run.log_path, "orbax_ckpt"),
+                max_to_keep=self.cfg.run.ckpt_keep)
+        return self._orbax
+
+    def epoch_checkpoint(self, epoch: int):
+        """Rolling per-epoch save at ckpt_freq cadence: an orbax step in
+        orbax mode, the single checkpoint.msgpack file otherwise (the
+        reference overwrites `checkpoint.pth` every epoch,
+        backbone_train.py:578-584)."""
+        import os
+
+        from sm3x.utils import save_checkpoint
+
+        if (epoch + 1) % max(self.cfg.run.ckpt_freq, 1) != 0:
+            return
+        if self.use_orbax:
+            self._ckpt_manager().save(epoch + 1, self._state_tree(epoch))
+        else:
+            save_checkpoint(
+                os.path.join(self.cfg.run.log_path, "checkpoint.msgpack"),
+                self._state_tree(epoch))
+
+    def finish_checkpoints(self):
+        if self._orbax is not None:
+            self._orbax.wait()
+
+    def resume_from_orbax(self, directory=None) -> bool:
+        """Restore the latest orbax step into the live state (from this
+        run's manager, or an explicit prior run's `orbax_ckpt` dir).
+        Returns whether anything was restored."""
+        from sm3x.utils.checkpoint import OrbaxManager
+
+        if directory is not None:
+            mgr = OrbaxManager(directory, max_to_keep=self.cfg.run.ckpt_keep)
+        else:
+            mgr = self._ckpt_manager()
+        tree = mgr.restore()
+        if tree is None:
+            return False
+        self._restore_state_tree(tree)
+        self.logger.info(f"resumed from orbax step {mgr.latest_step()} "
+                         f"(epoch {self.start_epoch})")
+        return True
+
+    def resume(self, path=None) -> bool:
+        """--resume-path dispatch shared by every CLI: a directory is an
+        orbax_ckpt dir, a file is a msgpack training state (the reference's
+        restart_from_checkpoint, misc.py:462-494)."""
+        import os
+
+        path = path or self.cfg.run.resume_path
+        if not path:
+            return False
+        if os.path.isdir(path):
+            if not self.resume_from_orbax(path):
+                raise FileNotFoundError(f"no orbax steps in '{path}'")
+            return True
+        from sm3x.utils.checkpoint import restart_from_checkpoint
+
+        ckpt = restart_from_checkpoint(path, self.logger)
+        if ckpt is None:
+            raise FileNotFoundError(f"cannot find checkpoint at '{path}'")
+        self._restore_state_tree(ckpt)
+        self.logger.info(f"resumed from '{path}' (epoch {self.start_epoch})")
+        return True

@@ -123,7 +123,7 @@ def _device_wrap(data, mesh):
     return data
 
 
-class MLCTrainer:
+class MLCTrainer(common.CheckpointableTrainer):
     """Owns the DeepCluster loop (reference main, mlc_train.py:288-442)."""
 
     def __init__(self, cfg, mesh=None, logger=None, extractor_tree=None):
@@ -183,6 +183,20 @@ class MLCTrainer:
             aug_fn=aug_fn)
         self.bank = None
 
+    def _state_tree(self, epoch: int):
+        """Full DeepCluster state: the memory bank is a training-state leaf
+        (SURVEY §7 'bank as training-state leaf') so an orbax resume skips
+        the init_memory pass and continues mid-schedule."""
+        tree = super()._state_tree(epoch)
+        if self.bank is not None:
+            tree["bank"] = self.bank
+        return tree
+
+    def _restore_state_tree(self, tree):
+        super()._restore_state_tree(tree)
+        if "bank" in tree and tree["bank"] is not None:
+            self.bank = replicate(self.mesh, jnp.asarray(tree["bank"]))
+
     def init_memory(self, data):
         cfg = self.cfg
         n = data.n
@@ -238,17 +252,22 @@ class MLCTrainer:
         data = _device_wrap(data, self.mesh)
         if self.bank is None:
             self.init_memory(data)
-        for epoch in range(cfg.optim.epochs):
+        for epoch in range(self.start_epoch, cfg.optim.epochs):
             t0 = time.time()
             stat = self.train_epoch(data, epoch)
             self.writer.log(stat, epoch, "ssl_train/")
             self.logger.info(
                 f"Epoch {epoch}: loss {stat['loss']:.4f} "
                 f"({(time.time() - t0) / 60:.2f} min)")
+            self.epoch_checkpoint(epoch)
             if (epoch + 1) % cfg.run.save_freq == 0 or (epoch + 1) == cfg.optim.epochs:
+                # cross-stage surgery milestone (mlc_eval loads params +
+                # batch_stats from these; the full resumable state lives in
+                # the rolling epoch_checkpoint)
                 save_checkpoint(
                     os.path.join(cfg.run.log_path, f"ckp_{epoch}.msgpack"),
                     {"epoch": epoch + 1,
                      "params": self.state.params,
                      "batch_stats": self.state.batch_stats})
+        self.finish_checkpoints()
         return self.state

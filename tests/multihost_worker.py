@@ -1,0 +1,111 @@
+"""Worker process for the multi-host tests (tests/test_multihost.py).
+
+Each worker is one "host" of a 2-process jax.distributed job: 4 local
+virtual CPU devices, gloo cross-process collectives, a global 8-device
+("data","model") mesh. This exercises the real multi-host code path —
+`distributed_initialize` (the reference's init_process_group analogue,
+src/utils/misc.py:390-415) plus GSPMD collectives that cross the process
+boundary (the DCN stand-in) — without TPU pod hardware.
+
+Usage: python multihost_worker.py <process_id> <num_processes> <port> <mode>
+Modes:
+  psum — device_put a data-sharded global array, jit a sum (allreduce
+         across processes), print RESULT <value>.
+  ssl  — run ONE full SSL train step (dual ResNet-18, fused aug, 3-way
+         NT-Xent, AdamW) on a global batch sharded over both processes,
+         print RESULT <loss>.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Per-process FRESH compile cache: with the shared persistent cache one
+# process can load the big train step as an AOT artifact in milliseconds
+# while the other compiles for minutes — the early process then times out
+# gloo context initialization (30s handshake deadline) waiting for the
+# late one. Equal (empty) caches keep compile skew well under the window.
+os.environ["SM3X_COMPILATION_CACHE"] = f"/tmp/sm3x_mh_cache_{os.getpid()}"
+
+import jax
+
+# Order matters: platform + device count + collectives impl must be set
+# before the backend is created (sitecustomize pre-imports jax, so env
+# vars are too late on this machine — config.update still works).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+
+def main():
+    pid, nprocs, port, mode = (int(sys.argv[1]), int(sys.argv[2]),
+                               int(sys.argv[3]), sys.argv[4])
+    from sm3x.parallel import distributed_initialize
+
+    distributed_initialize(f"127.0.0.1:{port}", nprocs, pid)
+    assert jax.process_count() == nprocs
+    assert jax.device_count() == 4 * nprocs
+    assert len(jax.local_devices()) == 4
+
+    import numpy as np
+
+    from sm3x.core.mesh import make_mesh, shard_batch
+
+    mesh = make_mesh()  # global mesh over every device of every process
+
+    if mode == "psum":
+        import jax.numpy as jnp
+
+        n = jax.device_count()
+        # identical host value on every process; device_put places each
+        # process's addressable shards
+        x = np.arange(n * 3, dtype=np.float32).reshape(n, 3)
+        arr = shard_batch(mesh, {"x": x})["x"]
+        out = jax.jit(lambda a: a.sum())(arr)  # cross-process allreduce
+        print(f"RESULT {float(out):.6f}", flush=True)
+        return
+
+    if mode == "ssl":
+        from sm3x.core import prng
+        from sm3x.core.config import (SSLConfig, DataConfig, ModelConfig,
+                                      OptimConfig, RunConfig)
+        from sm3x.data.synthetic import synthetic_canvas_batch
+        from sm3x.train.backbone_train import SSLTrainer
+
+        batch = 16
+        cfg = SSLConfig(
+            data=DataConfig(img_sz=(32, 32)),
+            model=ModelConfig(arch="resnet18", arch_version="v32",
+                              proj_dim=16, temperature=0.1),
+            optim=OptimConfig(epochs=1, batch_size=batch, base_lr=1e-3,
+                              amp=False),
+            run=RunConfig(log_path=f"/tmp/sm3x_mh_{pid}", seed=0),
+        )
+        trainer = SSLTrainer(cfg, mesh=mesh)
+        canvases, hw, _ = synthetic_canvas_batch(batch, canvas=64, seed=0)
+        db = shard_batch(mesh, {"derm": canvases, "derm_hw": hw,
+                                "clinic": canvases, "clinic_hw": hw})
+        rng = prng.step_rng(trainer.rng, 0, 0)
+        # AOT-compile, then rendezvous before dispatch: execution is what
+        # initializes the gloo cliques, so both processes must reach it
+        # within the handshake deadline
+        compiled = trainer.train_step.lower(
+            trainer.state, db["derm"], db["derm_hw"],
+            db["clinic"], db["clinic_hw"], rng).compile()
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("sm3x_mh_compiled")
+        trainer.state, metrics = compiled(
+            trainer.state, db["derm"], db["derm_hw"],
+            db["clinic"], db["clinic_hw"], rng)
+        # the loss is replicated after the GSPMD psum: every process reads
+        # the same scalar
+        print(f"RESULT {float(metrics['loss']):.6f}", flush=True)
+        return
+
+    raise SystemExit(f"unknown mode {mode!r}")
+
+
+if __name__ == "__main__":
+    main()

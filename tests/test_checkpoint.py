@@ -115,3 +115,81 @@ def test_ssl_trainer_orbax_backend_resume(tmp_path):
     w1 = jax.tree.leaves(t1.state.params)[0]
     w2 = jax.tree.leaves(t2.state.params)[0]
     np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+
+
+def _fake_data(tmp_path, n_cases=12, img_size=64):
+    from sm3x.data.synthetic import make_fake_derm7pt
+    from sm3x.data.derm7pt import Derm7ptMeta
+    from sm3x.data.pipeline import PairedImageData
+
+    root = str(tmp_path / "data")
+    make_fake_derm7pt(root, n_cases=n_cases, img_size=img_size)
+    meta = Derm7ptMeta(root)
+    return (PairedImageData.from_meta(meta, "train", cache_size=64),
+            PairedImageData.from_meta(meta, "test", cache_size=64))
+
+
+def test_mlc_trainer_orbax_resume_restores_bank(tmp_path):
+    """DeepCluster state (params/opt/bank/epoch) round-trips through the
+    orbax backend; resume skips init_memory and continues mid-schedule."""
+    import dataclasses
+
+    import jax
+    from sm3x.core.config import (MLCTrainConfig, DataConfig, ModelConfig,
+                                  OptimConfig, RunConfig)
+    from sm3x.train.mlc_train import MLCTrainer
+
+    train, _ = _fake_data(tmp_path)
+    cfg = MLCTrainConfig(
+        data=DataConfig(img_sz=(48, 48)),
+        model=ModelConfig(arch="resnet18", mlc_proj="v4", mlc_proj_dim=16,
+                          num_heads=1, sa_dim_ff=16, temperature=1.0),
+        optim=OptimConfig(epochs=1, batch_size=8, base_lr=1e-3, amp=False),
+        run=RunConfig(log_path=str(tmp_path / "r1"), seed=0,
+                      ckpt_backend="orbax", ckpt_freq=1, save_freq=100),
+        kmeans_iters=2,
+    )
+    t1 = MLCTrainer(cfg)
+    t1.fit(train)
+    odir = os.path.join(cfg.run.log_path, "orbax_ckpt")
+    assert os.path.isdir(odir)
+
+    cfg2 = dataclasses.replace(
+        cfg, run=dataclasses.replace(cfg.run, log_path=str(tmp_path / "r2")))
+    t2 = MLCTrainer(cfg2)
+    assert t2.resume(odir)
+    assert t2.start_epoch == 1
+    np.testing.assert_array_equal(np.asarray(t1.bank), np.asarray(t2.bank))
+    w1, w2 = (jax.tree.leaves(t.state.params)[0] for t in (t1, t2))
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+
+
+def test_eval_trainer_msgpack_rolling_resume(tmp_path):
+    """The per-epoch rolling checkpoint.msgpack written by the supervised
+    eval trainer resumes epoch + best_val_auc + opt_state via resume()."""
+    import jax
+    from sm3x.core.config import (EvalConfig, DataConfig, ModelConfig,
+                                  OptimConfig, RunConfig)
+    from sm3x.train.backbone_eval import BackboneEvalTrainer
+
+    train, test = _fake_data(tmp_path)
+    cfg = EvalConfig(
+        data=DataConfig(img_sz=(48, 48)),
+        model=ModelConfig(arch="resnet18", finetune="fc"),
+        optim=OptimConfig(epochs=1, batch_size=8, base_lr=1e-2, amp=False),
+        run=RunConfig(log_path=str(tmp_path / "e1"), seed=0, ckpt_freq=1),
+    )
+    t1 = BackboneEvalTrainer(cfg)
+    best = t1.fit(train, test)
+    roll = os.path.join(cfg.run.log_path, "checkpoint.msgpack")
+    assert os.path.isfile(roll)
+
+    t2 = BackboneEvalTrainer(cfg)
+    assert t2.resume(roll)
+    assert t2.start_epoch == 1
+    assert t2.best_auc == best
+    w1, w2 = (jax.tree.leaves(t.state.params)[0] for t in (t1, t2))
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    # opt_state round-trips as the typed optax tree
+    o1, o2 = (jax.tree.leaves(t.state.opt_state) for t in (t1, t2))
+    assert len(o1) == len(o2)

@@ -1,0 +1,75 @@
+"""Multi-host (multi-process) distributed runtime tests.
+
+The reference runs one NCCL process per GPU via mp.spawn
+(tools/backbone_train.py:626-631). sm3x is single-controller per host;
+multi-HOST runs use jax.distributed (SURVEY §2b N4). These tests launch
+a real 2-process jax.distributed job over virtual CPU devices with gloo
+collectives — cross-process allreduce actually happens, so the
+multi-host code path is validated end-to-end without pod hardware.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "multihost_worker.py")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _run_workers(nprocs: int, mode: str, timeout: float):
+    port = _free_port()
+    env = dict(os.environ, PYTHONPATH=REPO)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(i), str(nprocs), str(port), mode],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=REPO)
+        for i in range(nprocs)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            outs.append(p.communicate(timeout=timeout)[0])
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert all(p.returncode == 0 for p in procs), "\n".join(outs)
+    results = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert lines, out
+        results.append(float(lines[-1].split()[1]))
+    return results
+
+
+def test_two_process_allreduce():
+    """A data-sharded global array's sum crosses the process boundary;
+    both processes must agree on the replicated result."""
+    results = _run_workers(2, "psum", timeout=240)
+    n = 8  # 2 processes x 4 virtual devices
+    expected = float(sum(range(n * 3)))
+    assert results == [expected] * 2
+
+
+@pytest.mark.slow
+def test_two_process_ssl_train_step():
+    """ONE full SSL train step (grad psum + global-batch BN across the
+    process boundary) on a 2-process mesh: both hosts read the same
+    finite loss."""
+    results = _run_workers(2, "ssl", timeout=1800)
+    assert results[0] == results[1]
+    assert results[0] == pytest.approx(results[0])  # finite (not nan)
+    import math
+
+    assert math.isfinite(results[0]) and results[0] > 0

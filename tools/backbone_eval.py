@@ -1,70 +1,17 @@
 #!/usr/bin/env python
 """Backbone linear eval CLI (reference tools/backbone_eval.py surface):
 load the SSL checkpoint's encoders into a dual-backbone Baseline and
-train the 8 linear heads (--finetune fc freezes the backbones)."""
+train the 8 linear heads (--finetune fc freezes the backbones).
+
+Thin shim over sm3x.cli.apps (also installed as the `sm3x-backbone-eval`
+console script)."""
 
 import os
 import sys
-import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from sm3x.cli.parser import get_parser, eval_config
-from sm3x.core.config import asdict_flat
-from sm3x.data.datasets import build_dataset
-from sm3x.utils import increment_path, save_args, setup_logger, fix_random_seeds
-
-
-def load_encoder_tree(path: str, arch: str):
-    if path.endswith(".pth") or path.endswith(".pth.tar"):
-        from sm3x.utils.checkpoint import load_torch_ssl_checkpoint
-
-        return load_torch_ssl_checkpoint(path, arch, with_projectors=False)
-    from sm3x.utils.checkpoint import load_checkpoint
-
-    ckpt = load_checkpoint(path)
-    return ckpt["params"], ckpt["batch_stats"]
-
-
-def main():
-    parser = get_parser("sm3x backbone linear eval")
-    parser.add_argument("--num-labels", type=int, default=8)
-    parser.add_argument("--label-weights", nargs="*", type=float, default=[1.0] * 8)
-    args = parser.parse_args()
-
-    args.log_path = str(increment_path(args.log_path, sep="_", mkdir=True))
-    cfg = eval_config(args)
-    cfg.run.log_path = args.log_path
-    save_args(asdict_flat(cfg), os.path.join(args.log_path, "configs.txt"))
-    logger = setup_logger(args.log_path, "sm3x.backbone_eval")
-    fix_random_seeds(cfg.run.seed)
-
-    try:
-        from sm3x.train.backbone_eval import BackboneEvalTrainer
-
-        train = build_dataset(cfg.data.data_name, cfg.data.data_path, "train",
-                              cache_size=cfg.data.cache_size,
-                              workers=cfg.run.workers)
-        test = build_dataset(cfg.data.data_name, cfg.data.data_path, "test",
-                             cache_size=cfg.data.cache_size,
-                             workers=cfg.run.workers)
-        logger.info(f"train {train.n} / test {test.n} images loaded.")
-        tree = None
-        if cfg.run.pretrain_path and os.path.isfile(cfg.run.pretrain_path):
-            tree = load_encoder_tree(cfg.run.pretrain_path, cfg.model.arch)
-        trainer = BackboneEvalTrainer(cfg, logger=logger, encoder_tree=tree)
-        best = trainer.fit(train, test)
-        logger.info(f"Best val AUC_AVG: {best:.4f}")
-        out_csv = os.path.join(args.log_path, "results.csv")
-        trainer.write_results(test, out_csv)
-        logger.info(f"Wrote {out_csv}")
-    except Exception as e:
-        print(e, "\n")
-        with open(os.path.join(args.log_path, "error.log"), "a") as f:
-            traceback.print_exc(file=f)
-            f.write("\n")
-        raise
-
+from sm3x.cli.apps import backbone_eval_main as main
 
 if __name__ == "__main__":
     main()
