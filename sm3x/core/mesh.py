@@ -65,3 +65,34 @@ def replicate(mesh: Mesh, tree):
 
 def pad_to_multiple(n: int, k: int) -> int:
     return ((n + k - 1) // k) * k
+
+
+def label_head_shardings(mesh: Mesh, tree, num_labels: int = 8):
+    """Tensor-parallel placement spec for a params/batch_stats pytree:
+    the stacked per-label projector weights (every (num_labels, ...) leaf
+    under a `projectors` subtree — the nn.vmap-lifted MultiLabelProjector,
+    reference src/models/projector.py) shard their leading heads dim over
+    the "model" axis; every other leaf is replicated. On a model=1 mesh
+    everything comes out replicated, so callers can use this
+    unconditionally."""
+    rep = replicated_sharding(mesh)
+    tp = NamedSharding(mesh, P(MODEL_AXIS))
+    m = int(mesh.shape[MODEL_AXIS])
+
+    def walk(t, stacked=False):
+        if isinstance(t, dict):
+            return {k: walk(v, stacked or k == "projectors")
+                    for k, v in t.items()}
+        shape = getattr(t, "shape", ())
+        if (m > 1 and stacked and len(shape) >= 2
+                and shape[0] == num_labels and shape[0] % m == 0):
+            return tp
+        return rep
+
+    return walk(tree)
+
+
+def shard_label_heads(mesh: Mesh, tree, num_labels: int = 8):
+    """Place a params/batch_stats pytree per `label_head_shardings`."""
+    return jax.tree.map(jax.device_put, tree,
+                        label_head_shardings(mesh, tree, num_labels))

@@ -79,11 +79,7 @@ class BackboneEvalTrainer(common.CheckpointableTrainer):
                                eps=cfg.optim.adam_eps, mask_tree=mask)
         self.state = common.create_train_state(
             self.model, {"params": params, "batch_stats": batch_stats}, tx)
-        self.state = self.state.replace(
-            params=replicate(self.mesh, self.state.params),
-            batch_stats=replicate(self.mesh, self.state.batch_stats),
-            opt_state=replicate(self.mesh, self.state.opt_state),
-        )
+        self._place_state()
 
         backbone_train_mode = m.finetune != "fc"
         model = self.model

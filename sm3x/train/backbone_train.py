@@ -136,11 +136,7 @@ class SSLTrainer(common.CheckpointableTrainer):
         tx = common.make_adamw(cfg.optim.base_lr, cfg.optim.wd,
                                eps=cfg.optim.adam_eps)
         self.state = common.create_train_state(self.model, variables, tx)
-        self.state = self.state.replace(
-            params=replicate(self.mesh, self.state.params),
-            batch_stats=replicate(self.mesh, self.state.batch_stats),
-            opt_state=replicate(self.mesh, self.state.opt_state),
-        )
+        self._place_state()
         import dataclasses as _dc
 
         aug_cfg = _dc.replace(SSL_AUG, out_size=tuple(cfg.data.img_sz))

@@ -139,6 +139,17 @@ class CheckpointableTrainer:
     def use_orbax(self) -> bool:
         return self.cfg.run.ckpt_backend == "orbax"
 
+    def _place_state(self):
+        """Place the live training state onto the mesh. Base placement
+        replicates params/batch_stats/opt_state (pure data parallelism);
+        trainers with tensor-parallel subtrees override."""
+        from sm3x.core.mesh import replicate
+
+        self.state = self.state.replace(
+            params=replicate(self.mesh, self.state.params),
+            batch_stats=replicate(self.mesh, self.state.batch_stats),
+            opt_state=replicate(self.mesh, self.state.opt_state))
+
     def _state_tree(self, epoch: int) -> dict:
         return {
             "epoch": epoch + 1,
@@ -159,6 +170,7 @@ class CheckpointableTrainer:
                                      tree["batch_stats"]),
             opt_state=opt_state)
         self.start_epoch = int(tree.get("epoch", 0))
+        self._place_state()  # restored leaves are host arrays
 
     def _ckpt_manager(self):
         import os
@@ -210,6 +222,40 @@ class CheckpointableTrainer:
         self.logger.info(f"resumed from orbax step {mgr.latest_step()} "
                          f"(epoch {self.start_epoch})")
         return True
+
+    def _maybe_tp_state(self, num_labels: int):
+        """Tensor-parallel state placement for models carrying the stacked
+        (num_labels, ...) MultiLabelProjector (--mesh-model > 1): those
+        weights AND their optimizer moments shard the heads dim over the
+        "model" mesh axis; everything else replicates. No-op placement-wise
+        on a model=1 mesh."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from sm3x.core.mesh import (MODEL_AXIS, replicated_sharding,
+                                    shard_label_heads)
+
+        params = shard_label_heads(self.mesh, self.state.params, num_labels)
+        batch_stats = shard_label_heads(self.mesh, self.state.batch_stats,
+                                        num_labels)
+        rep = replicated_sharding(self.mesh)
+        tp = NamedSharding(self.mesh, P(MODEL_AXIS))
+        m = int(self.mesh.shape[MODEL_AXIS])
+
+        def put_moment(x):
+            # AdamW moments mirror the param tree; within this model family
+            # the only (num_labels, ...) rank>=2 leaves are the stacked
+            # projector weights, so a shape rule suffices for the typed
+            # optax state (whose masked/multi_transform nodes make a
+            # path-based walk impractical)
+            shape = getattr(x, "shape", ())
+            if (m > 1 and len(shape) >= 2 and shape[0] == num_labels
+                    and shape[0] % m == 0):
+                return jax.device_put(x, tp)
+            return jax.device_put(x, rep)
+
+        opt_state = jax.tree.map(put_moment, self.state.opt_state)
+        self.state = self.state.replace(
+            params=params, batch_stats=batch_stats, opt_state=opt_state)
 
     def resume(self, path=None) -> bool:
         """--resume-path dispatch shared by every CLI: a directory is an

@@ -88,11 +88,7 @@ class MLCEvalTrainer(common.CheckpointableTrainer):
         tx = common.make_adamw(cfg.optim.base_lr, cfg.optim.wd, mask_tree=mask)
         self.state = common.create_train_state(
             self.model, {"params": params, "batch_stats": batch_stats}, tx)
-        self.state = self.state.replace(
-            params=replicate(self.mesh, self.state.params),
-            batch_stats=replicate(self.mesh, self.state.batch_stats),
-            opt_state=replicate(self.mesh, self.state.opt_state),
-        )
+        self._place_state()
 
         # BN/dropout submodule modes per policy (mlc_eval.py:125-139)
         ext_train = m.finetune == "all"
@@ -123,6 +119,10 @@ class MLCEvalTrainer(common.CheckpointableTrainer):
             aug_fn=get_ssl_augment_fn(m.use_pallas_augment, self.mesh))
 
         self.best_auc = 0.0
+
+    def _place_state(self):
+        # stacked per-label projectors shard over the "model" axis
+        self._maybe_tp_state(self.cfg.model.num_labels)
 
     def _state_tree(self, epoch: int):
         tree = super()._state_tree(epoch)

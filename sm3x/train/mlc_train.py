@@ -165,11 +165,7 @@ class MLCTrainer(common.CheckpointableTrainer):
         tx = common.make_adamw(cfg.optim.base_lr, cfg.optim.wd, mask_tree=mask)
         self.state = common.create_train_state(
             self.model, {"params": params, "batch_stats": batch_stats}, tx)
-        self.state = self.state.replace(
-            params=replicate(self.mesh, self.state.params),
-            batch_stats=replicate(self.mesh, self.state.batch_stats),
-            opt_state=replicate(self.mesh, self.state.opt_state),
-        )
+        self._place_state()
 
         aug_cfg = dataclasses.replace(MLC_TRAIN_AUG, out_size=tuple(cfg.data.img_sz))
         from sm3x.ops.augment import get_ssl_augment_fn
@@ -182,6 +178,10 @@ class MLCTrainer(common.CheckpointableTrainer):
             self.model, tuple(cfg.data.mean), tuple(cfg.data.std), aug_cfg,
             aug_fn=aug_fn)
         self.bank = None
+
+    def _place_state(self):
+        # stacked per-label projectors shard over the "model" axis
+        self._maybe_tp_state(self.cfg.model.num_labels)
 
     def _state_tree(self, epoch: int):
         """Full DeepCluster state: the memory bank is a training-state leaf
@@ -224,7 +224,10 @@ class MLCTrainer(common.CheckpointableTrainer):
             prng.fold_in_axis(jax.random.fold_in(self.rng, epoch), "kmeans"),
             self.bank, jax.device_get(self.state.params),
             tuple(cfg.model.num_classes), cfg.kmeans_iters)
-        self.state = self.state.replace(params=replicate(self.mesh, params))
+        from sm3x.core.mesh import shard_label_heads
+
+        self.state = self.state.replace(params=shard_label_heads(
+            self.mesh, params, cfg.model.num_labels))
         assignments = replicate(self.mesh, assignments)
         self.logger.info(f"Clustering for epoch {epoch} done.")
 
