@@ -64,6 +64,11 @@ def get_parser(desc: str = "sm3x training") -> argparse.ArgumentParser:
     p.add_argument("--ckpt-keep", type=int, default=3,
                    help="orbax max_to_keep")
     p.add_argument("--print-freq", type=int, default=50)
+    p.add_argument("--nan-guard", action="store_true",
+                   help="abort with a state dump when an epoch loss goes "
+                   "non-finite (failure detection; checked at epoch "
+                   "granularity so the deferred-readback hot loop stays "
+                   "free of device->host syncs)")
     p.add_argument("--use-pallas-augment", action="store_true",
                    help="fused Pallas photometric augmentation kernel "
                    "(one HBM round-trip per image)")
@@ -103,7 +108,8 @@ def base_configs(args) -> tuple:
         ckpt_freq=getattr(args, "ckpt_freq", 1),
         ckpt_backend=getattr(args, "ckpt_backend", "msgpack"),
         ckpt_keep=getattr(args, "ckpt_keep", 3),
-        print_freq=args.print_freq, resume_path=args.resume_path,
+        print_freq=args.print_freq, nan_guard=getattr(args, 'nan_guard', False),
+        resume_path=args.resume_path,
         pretrain_path=args.pretrain_path, log_path=args.log_path,
         logger_name=args.logger_name, tensorboard=args.tensorboard,
         wandb=args.wandb, proj_name=args.proj_name, run_group=args.run_group,

@@ -89,6 +89,7 @@ class RunConfig:
     ckpt_backend: str = "msgpack"
     ckpt_keep: int = 3  # orbax max_to_keep
     print_freq: int = 50
+    nan_guard: bool = False  # fail fast + state dump on non-finite epoch loss
     resume_path: Optional[str] = None
     pretrain_path: Optional[str] = None
     log_path: str = "./logs"

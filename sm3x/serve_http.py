@@ -1,0 +1,162 @@
+"""HTTP inference server over the bucketed `Predictor` (sm3x.serve).
+
+The reference's public surface stops at a dummy forward (inference.py);
+this completes the serving story with a dependency-free (stdlib
+http.server) endpoint suitable for sidecar deployment in front of one
+TPU chip/slice:
+
+* ``GET /healthz``  -> {"status": "ok", "labels": 8}
+* ``GET /labels``   -> label names + per-label class counts
+* ``POST /predict`` -> JSON {"cases": [{"derm": <b64 image>,
+  "clinic": <b64 image>}, ...]} -> {"predictions": [{<label>:
+  [class probabilities]}, ...]}. Images are JPEG/PNG bytes
+  base64-encoded; any resolution (letterbox + resize happen on device).
+
+Requests are served by a thread pool but device dispatch is serialized
+behind one lock — the Predictor's bucketed jit keeps each dispatch a
+single compiled program, so the TPU stays the only queue.
+
+CLI: ``python -m sm3x.serve_http --pretrain-path best_finetune.pth``
+(also installed as the ``sm3x-serve`` console script).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from sm3x import CLASSES_NAME, NUM_CLASSES
+
+
+def _decode_image(b64: str) -> np.ndarray:
+    """base64 JPEG/PNG bytes -> HxWx3 uint8 RGB array."""
+    raw = base64.b64decode(b64)
+    try:
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(raw)).convert("RGB")
+        return np.asarray(img, dtype=np.uint8)
+    except ImportError:
+        import cv2
+
+        arr = cv2.imdecode(np.frombuffer(raw, np.uint8), cv2.IMREAD_COLOR)
+        if arr is None:
+            raise ValueError("undecodable image bytes")
+        return arr[:, :, ::-1].copy()  # BGR -> RGB
+
+
+class PredictionServer:
+    """Wrap a `sm3x.serve.Predictor` in a threaded HTTP server."""
+
+    def __init__(self, predictor, host: str = "0.0.0.0", port: int = 8000):
+        self.predictor = predictor
+        self._lock = threading.Lock()  # serialize device dispatch
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet; callers have access logs
+                pass
+
+            def _reply(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._reply(200, {"status": "ok",
+                                      "labels": len(CLASSES_NAME)})
+                elif self.path == "/labels":
+                    self._reply(200, {
+                        "labels": list(CLASSES_NAME),
+                        "num_classes": list(NUM_CLASSES)})
+                else:
+                    self._reply(404, {"error": f"unknown path {self.path}"})
+
+            def do_POST(self):
+                if self.path != "/predict":
+                    self._reply(404, {"error": f"unknown path {self.path}"})
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(length) or b"{}")
+                    cases = req["cases"]
+                    derm = [_decode_image(c["derm"]) for c in cases]
+                    clinic = [_decode_image(c["clinic"]) for c in cases]
+                except Exception as e:  # malformed request
+                    self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+                    return
+                try:
+                    with server._lock:
+                        probs = server.predictor.predict(derm, clinic)
+                    out = [
+                        {CLASSES_NAME[h]: probs[h][i].tolist()
+                         for h in range(len(CLASSES_NAME))}
+                        for i in range(len(cases))
+                    ]
+                    self._reply(200, {"predictions": out})
+                except Exception as e:
+                    self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self):
+        """Serve in a daemon thread (returns immediately)."""
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def serve_forever(self):
+        self.httpd.serve_forever()
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser("sm3x HTTP inference server")
+    p.add_argument("--pretrain-path", type=str, required=True,
+                   help="best_linear/best_finetune .pth or sm3x msgpack")
+    p.add_argument("-a", "--arch", type=str, default="resnet50")
+    p.add_argument("--host", type=str, default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--test-sz", type=int, default=224)
+    p.add_argument("--mean", nargs=3, type=float,
+                   default=[0.7833, 0.6712, 0.6026])
+    p.add_argument("--std", nargs=3, type=float,
+                   default=[0.2139, 0.2472, 0.2571])
+    p.add_argument("--buckets", nargs="*", type=int, default=[1, 8, 32, 128])
+    args = p.parse_args()
+
+    from sm3x.serve import Predictor
+
+    predictor = Predictor.from_checkpoint(
+        args.pretrain_path, arch=args.arch, mean=args.mean, std=args.std,
+        test_sz=args.test_sz, buckets=tuple(args.buckets))
+    # warm the smallest bucket so the first request is fast
+    dummy = [np.zeros((64, 64, 3), np.uint8)]
+    predictor.predict(dummy, dummy)
+    server = PredictionServer(predictor, args.host, args.port)
+    print(f"serving on {args.host}:{server.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

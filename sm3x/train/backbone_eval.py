@@ -122,6 +122,7 @@ class BackboneEvalTrainer(common.CheckpointableTrainer):
         for epoch in range(self.start_epoch, cfg.optim.epochs):
             t0 = time.time()
             tr = run_train_epoch(self, train_data, epoch)
+            self.guard_loss(epoch, tr["loss"])
             va = run_eval_epoch(self, val_data, epoch)
             self.writer.log(tr, epoch, "train/")
             self.writer.log(va, epoch, "val/")

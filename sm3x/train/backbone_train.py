@@ -188,6 +188,7 @@ class SSLTrainer(common.CheckpointableTrainer):
         for epoch in range(self.start_epoch, cfg.optim.epochs):
             t0 = time.time()
             stat = self.train_epoch(data, epoch)
+            self.guard_loss(epoch, stat["loss"])
             self.writer.log(stat, epoch, "ssl_train/")
             self.logger.info(
                 f"Epoch {epoch}: loss {stat['loss']:.4f} "

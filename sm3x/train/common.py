@@ -257,6 +257,27 @@ class CheckpointableTrainer:
         self.state = self.state.replace(
             params=params, batch_stats=batch_stats, opt_state=opt_state)
 
+    def guard_loss(self, epoch: int, loss: float):
+        """--nan-guard failure detection: on a non-finite epoch loss, dump
+        the full training state for post-mortem and fail fast (the
+        reference only appends the traceback to error.log,
+        backbone_train.py:633-640). Checked at epoch granularity so the
+        deferred-readback hot loop stays free of device->host syncs."""
+        import math
+
+        if not getattr(self.cfg.run, "nan_guard", False) or math.isfinite(loss):
+            return
+        import os
+
+        from sm3x.utils import save_checkpoint
+
+        path = os.path.join(self.cfg.run.log_path, "nan_dump.msgpack")
+        save_checkpoint(path, self._state_tree(epoch))
+        self.logger.error(
+            f"non-finite loss {loss} at epoch {epoch}; state dumped to {path}")
+        raise FloatingPointError(
+            f"non-finite loss {loss} at epoch {epoch} (state: {path})")
+
     def resume(self, path=None) -> bool:
         """--resume-path dispatch shared by every CLI: a directory is an
         orbax_ckpt dir, a file is a msgpack training state (the reference's

@@ -193,3 +193,37 @@ def test_eval_trainer_msgpack_rolling_resume(tmp_path):
     # opt_state round-trips as the typed optax tree
     o1, o2 = (jax.tree.leaves(t.state.opt_state) for t in (t1, t2))
     assert len(o1) == len(o2)
+
+
+def test_nan_guard_dumps_state_and_raises(tmp_path):
+    """--nan-guard: a non-finite epoch loss dumps the full training state
+    and fails fast; finite losses pass through untouched."""
+    import dataclasses
+
+    import pytest
+
+    from sm3x.core.config import (SSLConfig, DataConfig, ModelConfig,
+                                  OptimConfig, RunConfig)
+    from sm3x.train.backbone_train import SSLTrainer
+
+    cfg = SSLConfig(
+        data=DataConfig(img_sz=(32, 32)),
+        model=ModelConfig(arch="resnet18", arch_version="v32", proj_dim=16,
+                          temperature=0.1),
+        optim=OptimConfig(epochs=1, batch_size=8, base_lr=1e-3, amp=False),
+        run=RunConfig(log_path=str(tmp_path), seed=0, nan_guard=True),
+    )
+    t = SSLTrainer(cfg)
+    t.guard_loss(0, 1.25)  # finite: no-op
+    with pytest.raises(FloatingPointError, match="epoch 3"):
+        t.guard_loss(3, float("nan"))
+    dump = os.path.join(str(tmp_path), "nan_dump.msgpack")
+    assert os.path.isfile(dump)
+    out = load_checkpoint(dump)
+    assert out["epoch"] == 4 and "params" in out and "opt_state" in out
+
+    # guard off: nan passes through (reference behavior)
+    t2 = SSLTrainer(dataclasses.replace(
+        cfg, run=dataclasses.replace(cfg.run, nan_guard=False,
+                                     log_path=str(tmp_path / "off"))))
+    t2.guard_loss(0, float("nan"))

@@ -48,3 +48,60 @@ def test_padding_does_not_change_results(predictor):
 def test_chunking_large_requests(predictor):
     out = predictor.predict(_imgs(7, 4), _imgs(7, 5))
     assert out[0].shape == (7, 5)
+
+
+def _b64_jpeg(img: np.ndarray) -> str:
+    import base64
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def test_http_server_roundtrip(predictor):
+    """POST /predict with base64 JPEG pairs -> per-label probabilities;
+    /healthz and /labels respond; malformed requests get 400."""
+    import json
+    import urllib.request
+
+    from sm3x.serve_http import PredictionServer
+
+    server = PredictionServer(predictor, host="127.0.0.1", port=0).start()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert json.load(r)["status"] == "ok"
+        with urllib.request.urlopen(f"{base}/labels", timeout=30) as r:
+            labels = json.load(r)
+        assert labels["labels"][0] == "DIAG" and labels["num_classes"][0] == 5
+
+        imgs = _imgs(2, 7)
+        body = json.dumps({"cases": [
+            {"derm": _b64_jpeg(imgs[0]), "clinic": _b64_jpeg(imgs[1])},
+            {"derm": _b64_jpeg(imgs[1]), "clinic": _b64_jpeg(imgs[0])},
+        ]}).encode()
+        req = urllib.request.Request(
+            f"{base}/predict", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            preds = json.load(r)["predictions"]
+        assert len(preds) == 2
+        for case in preds:
+            assert set(case) == {"BWV", "DaG", "PIG", "PN", "RS", "STR",
+                                 "VS", "DIAG"}
+            for probs in case.values():
+                np.testing.assert_allclose(sum(probs), 1.0, rtol=1e-3)
+
+        bad = urllib.request.Request(
+            f"{base}/predict", data=b'{"cases": [{"derm": "!!"}]}',
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.stop()
