@@ -212,15 +212,8 @@ def mlc_eval_main():
 # Backbone linear eval (reference tools/backbone_eval.py)
 # ---------------------------------------------------------------------------
 
-def load_encoder_tree(path: str, arch: str):
-    if path.endswith(".pth") or path.endswith(".pth.tar"):
-        from sm3x.utils.checkpoint import load_torch_ssl_checkpoint
-
-        return load_torch_ssl_checkpoint(path, arch, with_projectors=False)
-    from sm3x.utils.checkpoint import load_checkpoint
-
-    ckpt = load_checkpoint(path)
-    return ckpt["params"], ckpt["batch_stats"]
+# backbone_eval loads the same stage-1 artifacts as mlc_train
+load_encoder_tree = load_extractor_tree
 
 
 def backbone_eval_main():

@@ -56,7 +56,7 @@ class Predictor:
     def from_checkpoint(cls, pretrain_path: str, arch: str = "resnet50",
                         mean=(0.7833, 0.6712, 0.6026),
                         std=(0.2139, 0.2472, 0.2571), **kw):
-        from inference import build_evaluator, load_weights
+        from sm3x.api import build_evaluator, load_weights
 
         model = build_evaluator(arch=arch)
         variables = load_weights(pretrain_path, arch)
@@ -81,6 +81,8 @@ class Predictor:
         arrays (padding trimmed)."""
         assert len(derm_images) == len(clinic_images)
         n = len(derm_images)
+        if n == 0:
+            return [np.zeros((0, c), np.float32) for c in NUM_CLASSES]
         b = self._bucket(n)
         dc, dhw = self._canvases(derm_images)
         cc, chw = self._canvases(clinic_images)

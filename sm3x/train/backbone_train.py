@@ -18,7 +18,7 @@ import numpy as np
 
 from sm3x.core import prng
 from sm3x.core.cache import enable_compilation_cache
-from sm3x.core.mesh import make_mesh, shard_batch, replicate
+from sm3x.core.mesh import make_mesh, shard_batch
 from sm3x.losses.ssl import ssl_loss
 from sm3x.models.simclr import build_ssl_model
 from sm3x.ops.augment import SSL_AUG, get_ssl_augment_fn

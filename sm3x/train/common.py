@@ -231,25 +231,31 @@ class CheckpointableTrainer:
         on a model=1 mesh."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from sm3x.core.mesh import (MODEL_AXIS, replicated_sharding,
-                                    shard_label_heads)
+        from sm3x.core.mesh import (MODEL_AXIS, label_head_shardings,
+                                    replicated_sharding, shard_label_heads)
 
-        params = shard_label_heads(self.mesh, self.state.params, num_labels)
+        spec = label_head_shardings(self.mesh, self.state.params, num_labels)
+        params = jax.tree.map(jax.device_put, self.state.params, spec)
         batch_stats = shard_label_heads(self.mesh, self.state.batch_stats,
                                         num_labels)
         rep = replicated_sharding(self.mesh)
         tp = NamedSharding(self.mesh, P(MODEL_AXIS))
-        m = int(self.mesh.shape[MODEL_AXIS])
+        # AdamW moments mirror the param tree, but the typed optax state
+        # (masked/multi_transform nodes) defeats a path-based walk. Place a
+        # moment TP only when its shape matches a param that IS TP-placed —
+        # the exact shapes, not a bare leading-dim rule, so a non-projector
+        # tensor that coincidentally has a num_labels leading dim (e.g.
+        # prototype kernels with --mlc-proj-dim 8) keeps its moments
+        # replicated alongside its replicated param.
+        tp_shapes = {
+            p.shape
+            for p, s in zip(jax.tree.leaves(self.state.params),
+                            jax.tree.leaves(spec))
+            if s is tp or s == tp
+        }
 
         def put_moment(x):
-            # AdamW moments mirror the param tree; within this model family
-            # the only (num_labels, ...) rank>=2 leaves are the stacked
-            # projector weights, so a shape rule suffices for the typed
-            # optax state (whose masked/multi_transform nodes make a
-            # path-based walk impractical)
-            shape = getattr(x, "shape", ())
-            if (m > 1 and len(shape) >= 2 and shape[0] == num_labels
-                    and shape[0] % m == 0):
+            if getattr(x, "shape", None) in tp_shapes:
                 return jax.device_put(x, tp)
             return jax.device_put(x, rep)
 

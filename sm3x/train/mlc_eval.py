@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from sm3x import METRICS_NAME, CLASSES_NAME
 from sm3x.core import prng
 from sm3x.core.cache import enable_compilation_cache
-from sm3x.core.mesh import make_mesh, replicate
+from sm3x.core.mesh import make_mesh
 from sm3x.core.precision import policy_for
 from sm3x.models.mlc import MLCModel
 from sm3x.ops.augment import FINETUNE_AUG

@@ -69,7 +69,6 @@ def test_two_process_ssl_train_step():
     finite loss."""
     results = _run_workers(2, "ssl", timeout=1800)
     assert results[0] == results[1]
-    assert results[0] == pytest.approx(results[0])  # finite (not nan)
     import math
 
     assert math.isfinite(results[0]) and results[0] > 0

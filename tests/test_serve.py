@@ -105,3 +105,8 @@ def test_http_server_roundtrip(predictor):
             assert e.code == 400
     finally:
         server.stop()
+
+
+def test_empty_batch_returns_empty(predictor):
+    out = predictor.predict([], [])
+    assert len(out) == 8 and all(p.shape[0] == 0 for p in out)
