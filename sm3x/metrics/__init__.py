@@ -107,6 +107,63 @@ def multiclass_accuracy(preds, target, num_classes, average=None):
     return multiclass_recall(preds, target, num_classes, average)
 
 
+def binary_average_precision(scores: np.ndarray, positives: np.ndarray) -> float:
+    """AP = sum_n (R_n - R_{n-1}) P_n over the descending-score operating
+    points (sklearn average_precision_score / torchmetrics semantics);
+    0.0 when the class has no positives."""
+    positives = np.asarray(positives, dtype=bool)
+    n_pos = int(positives.sum())
+    if n_pos == 0:
+        return 0.0
+    scores = np.asarray(scores, dtype=np.float64)
+    order = np.argsort(-scores, kind="stable")
+    hits = positives[order]
+    s = scores[order]
+    # one operating point per unique threshold (ties grouped, as in
+    # sklearn's precision_recall_curve)
+    last = np.r_[np.nonzero(np.diff(s))[0], len(s) - 1]
+    tp = np.cumsum(hits)[last]
+    precision = tp / (last + 1.0)
+    recall_step = np.diff(np.r_[0.0, tp]) / n_pos
+    return float((precision * recall_step).sum())
+
+
+def multiclass_average_precision(preds, target, num_classes, average=None):
+    """One-vs-rest per-class AP; preds (N, C) logits or probabilities."""
+    preds = np.asarray(preds, dtype=np.float64)
+    target = np.asarray(target)
+    if preds.min() < 0 or preds.max() > 1:
+        preds = softmax(preds, axis=-1)
+    out = np.array([
+        binary_average_precision(preds[:, c], target == c)
+        for c in range(num_classes)
+    ])
+    return out.mean() if average == "macro" else out
+
+
+def mean_average_precision(preds_list: Sequence[np.ndarray],
+                           targets: np.ndarray,
+                           num_classes: Sequence[int] = tuple(NUM_CLASSES),
+                           cls_weights: Sequence[int] = tuple(CLS_WEIGHTS),
+                           classes_name: Sequence[str] = tuple(CLASSES_NAME),
+                           ) -> Dict[str, float]:
+    """mAP over the 8 labels (BASELINE.json names 'mAP parity'; the
+    released CSVs carry Acc/AUC/Recall/Spec/Prec, so this is reported
+    separately). Per label: macro AP over its classes plus the
+    CLS_WEIGHTS-selected positive-class AP; *_AVG = mean over labels."""
+    stats: Dict[str, float] = {}
+    macro, sel = [], []
+    for i, cname in enumerate(classes_name):
+        ap = multiclass_average_precision(preds_list[i], targets[:, i],
+                                          num_classes[i])
+        stats[f"mAP_{cname}"] = float(ap.mean())
+        macro.append(float(ap.mean()))
+        sel.append(float(ap[min(cls_weights[i], num_classes[i] - 1)]))
+    stats["mAP_AVG"] = float(np.mean(macro))
+    stats["mAP_SEL_AVG"] = float(np.mean(sel))
+    return stats
+
+
 METRIC_FNS = {
     "AUC": multiclass_auroc,
     "Recall": multiclass_recall,

@@ -107,3 +107,44 @@ def test_results_table_layout(rng_np):
     np.testing.assert_allclose(acc[24], np.mean(acc[:24]))
     np.testing.assert_allclose(acc[26], np.mean(acc[:19]))
     np.testing.assert_allclose(acc[28], np.mean(acc[19:24]))
+
+
+def test_average_precision_vs_sklearn():
+    """binary/multiclass AP match sklearn.average_precision_score
+    one-vs-rest, including ties and logit inputs."""
+    from sklearn.metrics import average_precision_score
+
+    from sm3x.metrics import (binary_average_precision,
+                              multiclass_average_precision, softmax)
+
+    rng = np.random.default_rng(3407)
+    scores = np.round(rng.normal(size=200), 1)  # ties
+    pos = rng.integers(0, 2, 200).astype(bool)
+    np.testing.assert_allclose(
+        binary_average_precision(scores, pos),
+        average_precision_score(pos, scores), rtol=1e-9)
+
+    logits = rng.normal(size=(150, 5))
+    target = rng.integers(0, 5, 150)
+    ours = multiclass_average_precision(logits, target, 5)
+    probs = softmax(logits, axis=-1)
+    ref = [average_precision_score(target == c, probs[:, c]) for c in range(5)]
+    np.testing.assert_allclose(ours, ref, rtol=1e-9)
+
+    # degenerate: a class with no positives scores 0.0 (not nan)
+    ours0 = multiclass_average_precision(logits, np.full(150, 1), 5)
+    assert ours0[0] == 0.0 and np.isfinite(ours0).all()
+
+
+def test_mean_average_precision_keys():
+    from sm3x.metrics import mean_average_precision
+    from sm3x import NUM_CLASSES, CLASSES_NAME
+
+    rng = np.random.default_rng(0)
+    n = 60
+    preds = [rng.normal(size=(n, c)) for c in NUM_CLASSES]
+    targets = np.stack([rng.integers(0, c, n) for c in NUM_CLASSES], axis=1)
+    out = mean_average_precision(preds, targets)
+    assert set(out) == {f"mAP_{c}" for c in CLASSES_NAME} | {"mAP_AVG",
+                                                             "mAP_SEL_AVG"}
+    assert all(0.0 <= v <= 1.0 for v in out.values())
