@@ -22,7 +22,7 @@ import numpy as np
 from sm3x.core import prng
 from sm3x.core.mesh import shard_batch
 from sm3x.losses import weighted_multilabel_ce
-from sm3x.metrics import compute_stage_metrics
+from sm3x.metrics import compute_stage_metrics, mean_average_precision
 from sm3x.ops.augment import ssl_augment_batch, eval_resize_batch
 from sm3x.utils import AverageMeter
 
@@ -134,4 +134,6 @@ def _concat_masked(all_preds, all_targets, all_masks):
 
 def _epoch_metrics(all_preds, all_targets, all_masks) -> dict:
     preds, targets = _concat_masked(all_preds, all_targets, all_masks)
-    return compute_stage_metrics(preds, targets)
+    stats = compute_stage_metrics(preds, targets)
+    stats.update(mean_average_precision(preds, targets))
+    return stats

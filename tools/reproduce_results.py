@@ -32,7 +32,7 @@ def evaluate(pretrain_path, data_path, arch="resnet50", mlc_proj_dim=512,
     from sm3x.core.mesh import make_mesh, shard_batch
     from sm3x.data.datasets import SevenPCBaseDataset
     from sm3x.ops.augment import eval_resize_batch
-    from inference import build_evaluator, load_weights
+    from sm3x.api import build_evaluator, load_weights
 
     enable_compilation_cache()
     mesh = make_mesh()
@@ -117,6 +117,13 @@ def main():
         std=tuple(args.std))
     write_results_csv(args.out, preds, targets)
     print(f"wrote {args.out}")
+
+    from sm3x.metrics import mean_average_precision
+
+    ap = mean_average_precision(preds, targets)
+    print(f"mAP_AVG {100 * ap['mAP_AVG']:.2f}  "
+          f"mAP_SEL_AVG {100 * ap['mAP_SEL_AVG']:.2f}  (BASELINE.json "
+          f"'mAP parity' metric; not part of the released CSV layout)")
 
     if args.compare:
         n_bad, report = compare_csv(args.out, args.compare, args.tolerance)
