@@ -84,6 +84,7 @@ class StatWriter:
 
     def __init__(self, log_path: str, tensorboard: bool = False,
                  wandb: bool = False, project: str = "sm3x", config=None):
+        self.log_path = log_path
         self.tb = None
         self.wb = None
         if tensorboard:
@@ -125,6 +126,15 @@ class StatWriter:
             self.tb.flush()
             self.tb.close()
         if self.wb:
+            # upload the run's text logs before finishing (the reference's
+            # close_wandb log-file upload, misc.py:368-385)
+            for name in ("outputs.log", "log.txt", "configs.txt"):
+                path = os.path.join(self.log_path, name)
+                if os.path.isfile(path):
+                    try:
+                        self.wb.save(path, base_path=self.log_path)
+                    except Exception:
+                        pass
             self.wb.finish()
 
 
