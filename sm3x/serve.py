@@ -55,10 +55,13 @@ class Predictor:
     @classmethod
     def from_checkpoint(cls, pretrain_path: str, arch: str = "resnet50",
                         mean=(0.7833, 0.6712, 0.6026),
-                        std=(0.2139, 0.2472, 0.2571), **kw):
+                        std=(0.2139, 0.2472, 0.2571),
+                        mlc_proj_dim: int = 512, sa_dim_ff: int = 128,
+                        num_labels: int = 8, **kw):
         from sm3x.api import build_evaluator, load_weights
 
-        model = build_evaluator(arch=arch)
+        model = build_evaluator(arch=arch, mlc_proj_dim=mlc_proj_dim,
+                                num_labels=num_labels, sa_dim_ff=sa_dim_ff)
         variables = load_weights(pretrain_path, arch)
         return cls(model, variables, mean, std, **kw)
 

@@ -127,3 +127,40 @@ def test_normalize_denormalize_roundtrip(rng_np):
     normed = normalize_uint8(jnp.asarray(x), mean, std)
     back = denormalize_to_uint8(normed, mean, std)
     np.testing.assert_allclose(np.asarray(back), x, atol=1)
+
+
+def test_isic17_dataset_batches(tmp_path):
+    """ISIC transfer wrapper (reference datasets.py:710-827): images +
+    binary multi-label CSV -> padded batches with validity masks."""
+    import csv
+
+    from PIL import Image
+
+    from sm3x.data.datasets import build_dataset
+
+    img_dir = tmp_path / "ISIC-2017_Training_Data"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    n = 5
+    with open(tmp_path / "train_labels.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["image_id", "melanoma", "seborrheic_keratosis"])
+        for i in range(n):
+            img = rng.integers(0, 256, (40, 50, 3), dtype=np.uint8)
+            Image.fromarray(img).save(img_dir / f"isic{i}.jpg")
+            w.writerow([f"isic{i}", i % 2, (i + 1) % 2])
+
+    data = build_dataset("ISIC17Dataset", str(tmp_path), "train",
+                         cache_size=64)
+    assert data.n == n
+    batches = list(data.batches(4, epoch=0, seed=0))
+    assert len(batches) == 2
+    canv, hw, labels, idx, mask = batches[1]
+    assert canv.shape == (4, 64, 64, 3) and canv.dtype == np.uint8
+    assert labels.shape == (4, 2)
+    # 5 % 4 == 1 real sample in the last batch, 3 padded
+    assert mask.sum() == 1 and len(mask) == 4
+    np.testing.assert_array_equal(hw[0], (40, 50))
+    # every sample appears exactly once across real rows of all batches
+    real = np.concatenate([b[3][b[4]] for b in batches])
+    assert sorted(real.tolist()) == list(range(n))

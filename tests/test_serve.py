@@ -110,3 +110,62 @@ def test_http_server_roundtrip(predictor):
 def test_empty_batch_returns_empty(predictor):
     out = predictor.predict([], [])
     assert len(out) == 8 and all(p.shape[0] == 0 for p in out)
+
+
+def test_from_checkpoint_msgpack(tmp_path):
+    """Predictor.from_checkpoint loads an sm3x msgpack via sm3x.api
+    (the sm3x-serve bootstrap path) and serves predictions."""
+    import os
+
+    from sm3x.api import build_evaluator
+    from sm3x.utils.checkpoint import save_checkpoint
+
+    model = build_evaluator(arch="resnet18", mlc_proj_dim=32, sa_dim_ff=16,
+                            dtype=jnp.float32)
+    d = jnp.zeros((1, 48, 48, 3), jnp.float32)
+    variables = jax.jit(
+        lambda r: model.init({"params": r, "dropout": r}, d, d))(jax.random.key(1))
+    ckpt = os.path.join(tmp_path, "best.msgpack")
+    save_checkpoint(ckpt, {"params": variables["params"],
+                           "batch_stats": variables.get("batch_stats", {})})
+
+    p = Predictor.from_checkpoint(
+        ckpt, arch="resnet18", mean=(0.5,) * 3, std=(0.25,) * 3,
+        test_sz=48, buckets=(1, 2), canvas=64, mlc_proj_dim=32, sa_dim_ff=16)
+    out = p.predict(_imgs(1, 11), _imgs(1, 12))
+    assert out[0].shape == (1, 5)
+    np.testing.assert_allclose(out[0].sum(axis=-1), 1.0, rtol=1e-4)
+
+
+def test_http_server_concurrent_requests(predictor):
+    """Parallel /predict requests serialize behind the dispatch lock and
+    all succeed."""
+    import base64
+    import concurrent.futures
+    import json
+    import urllib.request
+
+    from sm3x.serve_http import PredictionServer
+
+    server = PredictionServer(predictor, host="127.0.0.1", port=0).start()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        imgs = _imgs(2, 21)
+        body = json.dumps({"cases": [
+            {"derm": _b64_jpeg(imgs[0]), "clinic": _b64_jpeg(imgs[1])}]}).encode()
+
+        def one(_):
+            req = urllib.request.Request(
+                f"{base}/predict", data=body,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.load(r)["predictions"]
+
+        with concurrent.futures.ThreadPoolExecutor(4) as ex:
+            results = list(ex.map(one, range(4)))
+        assert len(results) == 4
+        first = results[0][0]["DIAG"]
+        for r in results[1:]:
+            np.testing.assert_allclose(r[0]["DIAG"], first, rtol=1e-5)
+    finally:
+        server.stop()
