@@ -42,6 +42,11 @@ def get_parser(desc: str = "sm3x training") -> argparse.ArgumentParser:
     p.add_argument("--wd", default=5e-2, type=float)
     p.add_argument("--warmup-epochs", default=10, type=int)
     p.add_argument("--start-warmup", default=0, type=float)
+    p.add_argument("--use-lr-schedule", action="store_true",
+                   help="warmup+cosine decay (base-lr -> final-lr over "
+                   "--epochs with --warmup-epochs); without it the "
+                   "warmup/final-lr flags are accepted but unused, "
+                   "matching the reference")
 
     # mesh / distribution (replaces port/dist-url/rank/world-size)
     p.add_argument("--mesh-data", type=int, default=None,
@@ -100,6 +105,7 @@ def base_configs(args) -> tuple:
         epochs=args.epochs, batch_size=args.batch_size, base_lr=args.base_lr,
         final_lr=args.final_lr, momentum=args.momentum, wd=args.wd,
         warmup_epochs=args.warmup_epochs, start_warmup=args.start_warmup,
+        use_lr_schedule=getattr(args, 'use_lr_schedule', False),
         amp=args.amp,
         label_weights=tuple(getattr(args, "label_weights", (1.0,) * 8)),
     )

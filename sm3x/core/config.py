@@ -72,6 +72,10 @@ class OptimConfig:
     wd: float = 5e-2
     warmup_epochs: int = 10
     start_warmup: float = 0.0
+    # opt-in warmup+cosine lr schedule for SSL pretraining; the reference
+    # defines warmup/final-lr flags but never consumes them (constant lr),
+    # so constant stays the default for parity
+    use_lr_schedule: bool = False
     ft_lr: float = 1e-3                # backbone_train.py:615
     adam_eps: float = 1e-5             # backbone_train.py:526 (AdamW eps)
     label_weights: Tuple[float, ...] = (1.0,) * 8

@@ -180,11 +180,37 @@ class SSLTrainer(common.CheckpointableTrainer):
     def save(self, path: str, epoch: int):
         save_checkpoint(path, self._state_tree(epoch))
 
+    def _apply_lr_schedule(self, steps_per_epoch: int):
+        """Opt-in warmup+cosine schedule (--use-lr-schedule): rebuild the
+        optimizer with the step-indexed schedule once steps_per_epoch is
+        known. Fresh runs only — a resumed run keeps its optimizer state
+        (the schedule's count restarts, so resuming mid-schedule with this
+        flag is refused rather than silently wrong)."""
+        o = self.cfg.optim
+        if self.start_epoch > 0:
+            raise ValueError(
+                "--use-lr-schedule cannot resume mid-run: the schedule "
+                "count restarts at 0; rerun from scratch or drop the flag")
+        schedule = common.warmup_cosine_schedule(
+            o.base_lr, o.final_lr, o.warmup_epochs, o.epochs,
+            steps_per_epoch, o.start_warmup)
+        tx = common.make_adamw(schedule, o.wd, eps=o.adam_eps)
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}
+        self.state = common.create_train_state(self.model, variables, tx)
+        self._place_state()
+        self.logger.info(
+            f"lr schedule: warmup {o.warmup_epochs} epochs "
+            f"({o.start_warmup} -> {o.base_lr}), cosine to {o.final_lr} "
+            f"over {o.epochs} epochs x {steps_per_epoch} steps")
+
     def fit(self, data):
         cfg = self.cfg
         import os
 
         data = _device_wrap(data, self.mesh)
+        if cfg.optim.use_lr_schedule:
+            self._apply_lr_schedule(data.steps_per_epoch(cfg.optim.batch_size))
         for epoch in range(self.start_epoch, cfg.optim.epochs):
             t0 = time.time()
             stat = self.train_epoch(data, epoch)

@@ -91,3 +91,52 @@ def test_ssl_train_step_deterministic(tiny_cfg, trainer):
     _, m3 = step(s, db["derm"], db["derm_hw"],
                  db["clinic"], db["clinic_hw"], rng2)
     assert float(m3["loss"]) != float(m1["loss"])
+
+
+def test_ssl_lr_schedule_optin(tmp_path):
+    """--use-lr-schedule: warmup+cosine replaces the constant lr (the
+    reference accepts but never consumes the warmup flags); params still
+    train and the schedule hits base_lr after warmup."""
+    import numpy as np
+
+    from sm3x.core.config import (SSLConfig, DataConfig, ModelConfig,
+                                  OptimConfig, RunConfig)
+    from sm3x.data.datasets import build_dataset
+    from sm3x.data.synthetic import make_fake_derm7pt
+    from sm3x.train import common
+    from sm3x.train.backbone_train import SSLTrainer
+
+    root = str(tmp_path / "data")
+    make_fake_derm7pt(root, n_cases=8, img_size=56)
+    data = build_dataset("SevenPCBaseDataset", root, "train", cache_size=64)
+    cfg = SSLConfig(
+        data=DataConfig(img_sz=(32, 32)),
+        model=ModelConfig(arch="resnet18", arch_version="v32", proj_dim=16,
+                          temperature=0.1),
+        optim=OptimConfig(epochs=2, batch_size=8, base_lr=1e-3, final_lr=1e-5,
+                          warmup_epochs=1, use_lr_schedule=True, amp=False),
+        run=RunConfig(log_path=str(tmp_path), seed=0, save_freq=100,
+                      ckpt_freq=100),
+    )
+    t = SSLTrainer(cfg)
+    p0 = jax.device_get(t.state.params)
+    t.fit(data)
+    p1 = jax.device_get(t.state.params)
+    moved = [not np.array_equal(a, b)
+             for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1))]
+    assert any(moved)
+
+    spe = data.steps_per_epoch(8)
+    sched = common.warmup_cosine_schedule(1e-3, 1e-5, 1, 2, spe)
+    np.testing.assert_allclose(float(sched(0)), 0.0, atol=1e-12)
+    np.testing.assert_allclose(float(sched(spe)), 1e-3, rtol=1e-6)
+    assert float(sched(2 * spe)) < 2e-5
+
+    # resuming mid-run with the schedule flag is refused
+    t2 = SSLTrainer(cfg)
+    t2.start_epoch = 1
+    try:
+        t2.fit(data)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
