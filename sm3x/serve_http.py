@@ -51,12 +51,84 @@ def _decode_image(b64: str) -> np.ndarray:
         return arr[:, :, ::-1].copy()  # BGR -> RGB
 
 
-class PredictionServer:
-    """Wrap a `sm3x.serve.Predictor` in a threaded HTTP server."""
+class _Batcher:
+    """Dynamic request batching: requests arriving within `max_wait_ms`
+    coalesce into ONE bucketed device dispatch instead of serializing one
+    dispatch per request — under concurrent load this multiplies
+    throughput by the effective batch size (the Predictor's per-bucket
+    jit makes the coalesced batch a single compiled program)."""
 
-    def __init__(self, predictor, host: str = "0.0.0.0", port: int = 8000):
+    def __init__(self, predictor, max_batch: int = 32,
+                 max_wait_ms: float = 5.0):
+        import queue
+
+        self.predictor = predictor
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self.q: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def predict(self, derm, clinic):
+        """Enqueue one request's images; blocks until its slice of the
+        coalesced batch is ready."""
+        done = threading.Event()
+        slot: dict = {}
+        self.q.put((derm, clinic, done, slot))
+        done.wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["probs"]
+
+    def _loop(self):
+        import queue
+        import time
+
+        while True:
+            first = self.q.get()
+            batch = [first]
+            n = len(first[0])
+            deadline = time.monotonic() + self.max_wait
+            while n < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    item = self.q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                batch.append(item)
+                n += len(item[0])
+            derm = [img for d, _, _, _ in batch for img in d]
+            clinic = [img for _, c, _, _ in batch for img in c]
+            try:
+                probs = self.predictor.predict(derm, clinic)
+                start = 0
+                for d, _, done, slot in batch:
+                    k = len(d)
+                    slot["probs"] = [p[start:start + k] for p in probs]
+                    start += k
+                    done.set()
+            except Exception as e:
+                for _, _, done, slot in batch:
+                    slot["error"] = e
+                    done.set()
+
+
+class PredictionServer:
+    """Wrap a `sm3x.serve.Predictor` in a threaded HTTP server.
+
+    With ``batching=True`` (default) concurrent requests coalesce into
+    single device dispatches via `_Batcher`; otherwise each request
+    dispatches alone behind a lock."""
+
+    def __init__(self, predictor, host: str = "0.0.0.0", port: int = 8000,
+                 batching: bool = True, max_batch: int = 32,
+                 max_wait_ms: float = 5.0):
         self.predictor = predictor
         self._lock = threading.Lock()  # serialize device dispatch
+        self._batcher = (_Batcher(predictor, max_batch, max_wait_ms)
+                         if batching else None)
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -96,8 +168,11 @@ class PredictionServer:
                     self._reply(400, {"error": f"{type(e).__name__}: {e}"})
                     return
                 try:
-                    with server._lock:
-                        probs = server.predictor.predict(derm, clinic)
+                    if server._batcher is not None:
+                        probs = server._batcher.predict(derm, clinic)
+                    else:
+                        with server._lock:
+                            probs = server.predictor.predict(derm, clinic)
                     out = [
                         {CLASSES_NAME[h]: probs[h][i].tolist()
                          for h in range(len(CLASSES_NAME))}
@@ -143,6 +218,12 @@ def main():
     p.add_argument("--std", nargs=3, type=float,
                    default=[0.2139, 0.2472, 0.2571])
     p.add_argument("--buckets", nargs="*", type=int, default=[1, 8, 32, 128])
+    p.add_argument("--max-batch", type=int, default=32,
+                   help="dynamic-batching coalesce limit")
+    p.add_argument("--max-wait-ms", type=float, default=5.0,
+                   help="dynamic-batching window")
+    p.add_argument("--no-batching", action="store_true",
+                   help="dispatch each request alone (lock-serialized)")
     args = p.parse_args()
 
     from sm3x.serve import Predictor
@@ -153,7 +234,10 @@ def main():
     # warm the smallest bucket so the first request is fast
     dummy = [np.zeros((64, 64, 3), np.uint8)]
     predictor.predict(dummy, dummy)
-    server = PredictionServer(predictor, args.host, args.port)
+    server = PredictionServer(predictor, args.host, args.port,
+                              batching=not args.no_batching,
+                              max_batch=args.max_batch,
+                              max_wait_ms=args.max_wait_ms)
     print(f"serving on {args.host}:{server.port}")
     server.serve_forever()
 

@@ -169,3 +169,45 @@ def test_http_server_concurrent_requests(predictor):
             np.testing.assert_allclose(r[0]["DIAG"], first, rtol=1e-5)
     finally:
         server.stop()
+
+
+def test_http_batching_coalesces_distinct_requests(predictor):
+    """Dynamic batching: concurrent requests with DIFFERENT images each
+    get THEIR OWN predictions (slicing of the coalesced batch), matching
+    a direct Predictor call."""
+    import concurrent.futures
+    import json
+    import urllib.request
+
+    from sm3x.serve_http import PredictionServer
+
+    server = PredictionServer(predictor, host="127.0.0.1", port=0,
+                              batching=True, max_batch=8,
+                              max_wait_ms=100).start()
+    base = f"http://127.0.0.1:{server.port}"
+    derms = _imgs(3, 31)
+    clinics = _imgs(3, 32)
+    direct = predictor.predict(derms, clinics)
+    try:
+        def one(i):
+            body = json.dumps({"cases": [
+                {"derm": _b64_jpeg(derms[i]), "clinic": _b64_jpeg(clinics[i])},
+            ]}).encode()
+            req = urllib.request.Request(
+                f"{base}/predict", data=body,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.load(r)["predictions"][0]
+
+        with concurrent.futures.ThreadPoolExecutor(3) as ex:
+            results = list(ex.map(one, range(3)))
+        for i, case in enumerate(results):
+            # JPEG re-encode + batch-composition fp noise only
+            np.testing.assert_allclose(case["DIAG"], direct[0][i],
+                                       rtol=0.1, atol=0.03)
+        # the three requests must NOT all share one prediction
+        assert not np.allclose(results[0]["DIAG"], results[1]["DIAG"],
+                               atol=1e-6) or not np.allclose(
+            results[1]["DIAG"], results[2]["DIAG"], atol=1e-6)
+    finally:
+        server.stop()
