@@ -25,7 +25,9 @@ from __future__ import annotations
 import base64
 import io
 import json
+import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -60,12 +62,10 @@ class _Batcher:
 
     def __init__(self, predictor, max_batch: int = 32,
                  max_wait_ms: float = 5.0):
-        import queue
-
         self.predictor = predictor
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
-        self.q: "queue.Queue" = queue.Queue()
+        self.q: queue.Queue = queue.Queue()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -81,9 +81,6 @@ class _Batcher:
         return slot["probs"]
 
     def _loop(self):
-        import queue
-        import time
-
         while True:
             first = self.q.get()
             batch = [first]

@@ -251,7 +251,7 @@ class CheckpointableTrainer:
             p.shape
             for p, s in zip(jax.tree.leaves(self.state.params),
                             jax.tree.leaves(spec))
-            if s is tp or s == tp
+            if s == tp
         }
 
         def put_moment(x):
