@@ -44,9 +44,10 @@ def get_parser(desc: str = "sm3x training") -> argparse.ArgumentParser:
     p.add_argument("--start-warmup", default=0, type=float)
     p.add_argument("--use-lr-schedule", action="store_true",
                    help="warmup+cosine decay (base-lr -> final-lr over "
-                   "--epochs with --warmup-epochs); without it the "
-                   "warmup/final-lr flags are accepted but unused, "
-                   "matching the reference")
+                   "--epochs with --warmup-epochs); SSL pretraining "
+                   "(backbone_train) only — other stages warn and ignore "
+                   "it. Without it the warmup/final-lr flags are accepted "
+                   "but unused, matching the reference")
 
     # mesh / distribution (replaces port/dist-url/rank/world-size)
     p.add_argument("--mesh-data", type=int, default=None,

@@ -129,7 +129,10 @@ def binary_average_precision(scores: np.ndarray, positives: np.ndarray) -> float
 
 
 def multiclass_average_precision(preds, target, num_classes, average=None):
-    """One-vs-rest per-class AP; preds (N, C) logits or probabilities."""
+    """One-vs-rest per-class AP; preds (N, C) logits or probabilities.
+    The softmax-if-outside-[0,1] heuristic is torchmetrics' own input
+    convention (shared with multiclass_auroc above); pass probabilities
+    explicitly if early-training logits might land inside [0,1]."""
     preds = np.asarray(preds, dtype=np.float64)
     target = np.asarray(target)
     if preds.min() < 0 or preds.max() > 1:

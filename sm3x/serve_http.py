@@ -69,20 +69,32 @@ class _Batcher:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
+    _SENTINEL = object()
+
     def predict(self, derm, clinic):
         """Enqueue one request's images; blocks until its slice of the
-        coalesced batch is ready."""
+        coalesced batch is ready. A dispatch failure fails every request
+        of the affected batch (the tradeoff of coalescing); each caller
+        gets a FRESH exception so concurrent re-raises don't share a
+        traceback."""
         done = threading.Event()
         slot: dict = {}
         self.q.put((derm, clinic, done, slot))
         done.wait()
         if "error" in slot:
-            raise slot["error"]
+            raise RuntimeError(f"batched dispatch failed: {slot['error']}")
         return slot["probs"]
+
+    def stop(self):
+        """Drain queued requests, then end the batcher thread."""
+        self.q.put(self._SENTINEL)
+        self._thread.join(timeout=30)
 
     def _loop(self):
         while True:
             first = self.q.get()
+            if first is self._SENTINEL:
+                return
             batch = [first]
             n = len(first[0])
             deadline = time.monotonic() + self.max_wait
@@ -93,6 +105,9 @@ class _Batcher:
                 try:
                     item = self.q.get(timeout=remaining)
                 except queue.Empty:
+                    break
+                if item is self._SENTINEL:
+                    self.q.put(item)  # re-queue: stop after this batch
                     break
                 batch.append(item)
                 n += len(item[0])
@@ -107,8 +122,9 @@ class _Batcher:
                     start += k
                     done.set()
             except Exception as e:
+                msg = f"{type(e).__name__}: {e}"
                 for _, _, done, slot in batch:
-                    slot["error"] = e
+                    slot["error"] = msg
                     done.set()
 
 
@@ -194,10 +210,12 @@ class PredictionServer:
         self.httpd.serve_forever()
 
     def stop(self):
-        self.httpd.shutdown()
+        self.httpd.shutdown()  # no new requests; in-flight handlers finish
         self.httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=5)
+        if self._batcher is not None:
+            self._batcher.stop()
 
 
 def main():

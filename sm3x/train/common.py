@@ -263,6 +263,15 @@ class CheckpointableTrainer:
         self.state = self.state.replace(
             params=params, batch_stats=batch_stats, opt_state=opt_state)
 
+    def warn_unconsumed_lr_schedule(self):
+        """--use-lr-schedule is consumed by the SSL trainer only; the other
+        stages must say so instead of silently training at constant lr."""
+        if getattr(self.cfg.optim, "use_lr_schedule", False):
+            self.logger.warning(
+                "--use-lr-schedule is only consumed by backbone_train "
+                "(SSL pretraining); this stage ignores it and uses a "
+                "constant lr")
+
     def guard_loss(self, epoch: int, loss: float):
         """--nan-guard failure detection: on a non-finite epoch loss, dump
         the full training state for post-mortem and fail fast (the

@@ -135,6 +135,7 @@ class MLCEvalTrainer(common.CheckpointableTrainer):
 
     def fit(self, train_data, val_data):
         cfg = self.cfg
+        self.warn_unconsumed_lr_schedule()
         train_data = _device_wrap(train_data, self.mesh)
         val_data = _device_wrap(val_data, self.mesh)
         summary = {}

@@ -252,6 +252,7 @@ class MLCTrainer(common.CheckpointableTrainer):
         import os
 
         cfg = self.cfg
+        self.warn_unconsumed_lr_schedule()
         data = _device_wrap(data, self.mesh)
         if self.bank is None:
             self.init_memory(data)

@@ -138,8 +138,9 @@ def test_from_checkpoint_msgpack(tmp_path):
 
 
 def test_http_server_concurrent_requests(predictor):
-    """Parallel /predict requests serialize behind the dispatch lock and
-    all succeed."""
+    """Parallel /predict requests on the --no-batching path serialize
+    behind the dispatch lock and all succeed (the batching path is
+    covered by test_http_batching_coalesces_distinct_requests)."""
     import base64
     import concurrent.futures
     import json
@@ -147,7 +148,8 @@ def test_http_server_concurrent_requests(predictor):
 
     from sm3x.serve_http import PredictionServer
 
-    server = PredictionServer(predictor, host="127.0.0.1", port=0).start()
+    server = PredictionServer(predictor, host="127.0.0.1", port=0,
+                              batching=False).start()
     base = f"http://127.0.0.1:{server.port}"
     try:
         imgs = _imgs(2, 21)
