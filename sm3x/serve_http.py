@@ -246,9 +246,12 @@ def main():
     predictor = Predictor.from_checkpoint(
         args.pretrain_path, arch=args.arch, mean=args.mean, std=args.std,
         test_sz=args.test_sz, buckets=tuple(args.buckets))
-    # warm the smallest bucket so the first request is fast
-    dummy = [np.zeros((64, 64, 3), np.uint8)]
-    predictor.predict(dummy, dummy)
+    # warm EVERY bucket: dynamic batching coalesces bursts into the larger
+    # buckets, so each one must be compiled before traffic arrives
+    for b in sorted(set(args.buckets)):
+        dummy = [np.zeros((64, 64, 3), np.uint8)] * b
+        predictor.predict(dummy, dummy)
+        print(f"warmed bucket {b}", flush=True)
     server = PredictionServer(predictor, args.host, args.port,
                               batching=not args.no_batching,
                               max_batch=args.max_batch,
