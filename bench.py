@@ -43,10 +43,13 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     extra = set(sys.argv[3:])
+    # arch override: any extra arg naming a backbone (e.g. vit_b16)
+    arch = next((a for a in extra if a.startswith(("vit_", "resnet"))),
+                "resnet50")
 
     cfg = SSLConfig(
         data=DataConfig(img_sz=(224, 224), cache_size=320),
-        model=ModelConfig(arch="resnet50", arch_version="v32", proj_dim=128,
+        model=ModelConfig(arch=arch, arch_version="v32", proj_dim=128,
                           temperature=0.1,
                           use_pallas_augment="no_pallas_aug" not in extra,
                           use_pallas_ntxent="pallas_ntxent" in extra),
@@ -85,7 +88,7 @@ def main():
     print(json.dumps({
         "metric": "ssl_pretrain_images_per_sec_per_chip",
         "value": round(img_per_sec_chip, 2),
-        "unit": "images/sec/chip (224x224 through ResNet-50 fwd+bwd, incl. on-device aug)",
+        "unit": f"images/sec/chip (224x224 through {arch} fwd+bwd, incl. on-device aug)",
         "vs_baseline": round(img_per_sec_chip / BASELINE_IMG_PER_SEC_PER_CHIP, 3),
     }))
 
