@@ -66,6 +66,7 @@ class _Batcher:
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
         self.q: queue.Queue = queue.Queue()
+        self._stopped = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -77,6 +78,8 @@ class _Batcher:
         of the affected batch (the tradeoff of coalescing); each caller
         gets a FRESH exception so concurrent re-raises don't share a
         traceback."""
+        if self._stopped:
+            raise RuntimeError("batched dispatch failed: server stopping")
         done = threading.Event()
         slot: dict = {}
         self.q.put((derm, clinic, done, slot))
@@ -86,9 +89,25 @@ class _Batcher:
         return slot["probs"]
 
     def stop(self):
-        """Drain queued requests, then end the batcher thread."""
+        """Reject new requests, let the thread finish its current batch,
+        then fail anything that raced the sentinel into the queue — no
+        handler thread is left blocked on done.wait() forever."""
+        self._stopped = True
         self.q.put(self._SENTINEL)
         self._thread.join(timeout=30)
+        self._fail_pending("server stopped")
+
+    def _fail_pending(self, msg: str):
+        while True:
+            try:
+                item = self.q.get_nowait()
+            except queue.Empty:
+                return
+            if item is self._SENTINEL:
+                continue
+            _, _, done, slot = item
+            slot["error"] = msg
+            done.set()
 
     def _loop(self):
         while True:
@@ -135,10 +154,11 @@ class PredictionServer:
     single device dispatches via `_Batcher`; otherwise each request
     dispatches alone behind a lock."""
 
-    def __init__(self, predictor, host: str = "0.0.0.0", port: int = 8000,
+    def __init__(self, predictor, host: str = "127.0.0.1", port: int = 8000,
                  batching: bool = True, max_batch: int = 32,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0, max_body_mb: float = 64.0):
         self.predictor = predictor
+        max_body = int(max_body_mb * 1024 * 1024)
         self._lock = threading.Lock()  # serialize device dispatch
         self._batcher = (_Batcher(predictor, max_batch, max_wait_ms)
                          if batching else None)
@@ -171,8 +191,12 @@ class PredictionServer:
                 if self.path != "/predict":
                     self._reply(404, {"error": f"unknown path {self.path}"})
                     return
+                length = int(self.headers.get("Content-Length", 0))
+                if length > max_body:
+                    self._reply(413, {"error": f"request body {length} B "
+                                               f"exceeds limit {max_body} B"})
+                    return
                 try:
-                    length = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(length) or b"{}")
                     cases = req["cases"]
                     derm = [_decode_image(c["derm"]) for c in cases]
@@ -225,8 +249,12 @@ def main():
     p.add_argument("--pretrain-path", type=str, required=True,
                    help="best_linear/best_finetune .pth or sm3x msgpack")
     p.add_argument("-a", "--arch", type=str, default="resnet50")
-    p.add_argument("--host", type=str, default="0.0.0.0")
+    p.add_argument("--host", type=str, default="127.0.0.1",
+                   help="bind address (loopback by default for the sidecar "
+                        "use case; pass 0.0.0.0 to expose externally)")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-body-mb", type=float, default=64.0,
+                   help="reject /predict bodies larger than this with 413")
     p.add_argument("--test-sz", type=int, default=224)
     p.add_argument("--mean", nargs=3, type=float,
                    default=[0.7833, 0.6712, 0.6026])
@@ -255,7 +283,8 @@ def main():
     server = PredictionServer(predictor, args.host, args.port,
                               batching=not args.no_batching,
                               max_batch=args.max_batch,
-                              max_wait_ms=args.max_wait_ms)
+                              max_wait_ms=args.max_wait_ms,
+                              max_body_mb=args.max_body_mb)
     print(f"serving on {args.host}:{server.port}")
     server.serve_forever()
 

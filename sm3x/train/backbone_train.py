@@ -172,6 +172,12 @@ class SSLTrainer(common.CheckpointableTrainer):
             batch_time.update(time.time() - end)
             end = time.time()
             if it % cfg.run.print_freq == 0 and it > 0:
+                # drain the deferred device scalars so the live display
+                # shows a moving loss: these steps already executed, so
+                # this is ONE host sync per print_freq steps, not per step
+                for loss, n in pending:
+                    losses.update(float(loss), n)
+                pending.clear()
                 self.logger.info(progress.display(it))
         for loss, n in pending:
             losses.update(float(loss), n)

@@ -106,15 +106,24 @@ def warmup_cosine_schedule(base_lr: float, final_lr: float, warmup_epochs: int,
                            start_warmup: float = 0.0):
     """The reference exposes warmup/final-lr flags (misc.py:144-154) though
     its shipped recipes use a constant lr; provide the schedule for parity
-    plus the standard warmup+cosine used by SSL pipelines."""
+    plus the standard warmup+cosine used by SSL pipelines.
+
+    final_lr=0 (the flag default) is a valid cosine end value — callers
+    only reach this under --use-lr-schedule, so there is no constant-lr
+    fallback; warmup_epochs=0 skips the warmup ramp entirely instead of
+    spending the first step at start_warmup."""
     warm = warmup_epochs * steps_per_epoch
     total = total_epochs * steps_per_epoch
-    if warm == 0 and final_lr == 0:
-        return base_lr
+    if warm == 0:
+        return optax.cosine_decay_schedule(
+            init_value=base_lr,
+            decay_steps=max(total, 1),
+            alpha=(final_lr / base_lr) if base_lr else 0.0,
+        )
     return optax.warmup_cosine_decay_schedule(
         init_value=start_warmup,
         peak_value=base_lr,
-        warmup_steps=max(warm, 1),
+        warmup_steps=warm,
         decay_steps=max(total, 2),
         end_value=final_lr,
     )
@@ -229,9 +238,7 @@ class CheckpointableTrainer:
         weights AND their optimizer moments shard the heads dim over the
         "model" mesh axis; everything else replicates. No-op placement-wise
         on a model=1 mesh."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from sm3x.core.mesh import (MODEL_AXIS, label_head_shardings,
+        from sm3x.core.mesh import (label_head_shardings,
                                     replicated_sharding, shard_label_heads)
 
         spec = label_head_shardings(self.mesh, self.state.params, num_labels)
@@ -239,27 +246,39 @@ class CheckpointableTrainer:
         batch_stats = shard_label_heads(self.mesh, self.state.batch_stats,
                                         num_labels)
         rep = replicated_sharding(self.mesh)
-        tp = NamedSharding(self.mesh, P(MODEL_AXIS))
-        # AdamW moments mirror the param tree, but the typed optax state
-        # (masked/multi_transform nodes) defeats a path-based walk. Place a
-        # moment TP only when its shape matches a param that IS TP-placed —
-        # the exact shapes, not a bare leading-dim rule, so a non-projector
-        # tensor that coincidentally has a num_labels leading dim (e.g.
-        # prototype kernels with --mlc-proj-dim 8) keeps its moments
-        # replicated alongside its replicated param.
-        tp_shapes = {
-            p.shape
-            for p, s in zip(jax.tree.leaves(self.state.params),
-                            jax.tree.leaves(spec))
-            if s == tp
-        }
+        # AdamW moments mirror the param tree INSIDE the typed optimizer
+        # state (mu/nu subtrees, possibly holding MaskedNode placeholders
+        # under multi_transform). A moment leaf's key path therefore ends
+        # with its own param's exact key path — match on that suffix (plus
+        # shape, for safety), NOT on bare shape equality, so a replicated
+        # param whose shape coincides with a TP projector weight keeps
+        # replicated moments (ADVICE round 1).
+        from jax.tree_util import tree_flatten_with_path, tree_unflatten
 
-        def put_moment(x):
-            if getattr(x, "shape", None) in tp_shapes:
-                return jax.device_put(x, tp)
-            return jax.device_put(x, rep)
+        def keynames(path):
+            return tuple(
+                getattr(k, "key", getattr(k, "name", getattr(k, "idx", None)))
+                for k in path)
 
-        opt_state = jax.tree.map(put_moment, self.state.opt_state)
+        param_flat = tree_flatten_with_path(self.state.params)[0]
+        tp_suffixes = [
+            (keynames(p), leaf.shape, s)
+            for (p, leaf), s in zip(param_flat, jax.tree.leaves(spec))
+            if s != rep
+        ]
+        flat, treedef = tree_flatten_with_path(self.state.opt_state)
+        placed = []
+        for path, x in flat:
+            names = keynames(path)
+            sharding = rep
+            for suffix, shape, s in tp_suffixes:
+                if (len(names) >= len(suffix)
+                        and names[-len(suffix):] == suffix
+                        and getattr(x, "shape", None) == shape):
+                    sharding = s
+                    break
+            placed.append(jax.device_put(x, sharding))
+        opt_state = tree_unflatten(treedef, placed)
         self.state = self.state.replace(
             params=params, batch_stats=batch_stats, opt_state=opt_state)
 

@@ -32,7 +32,8 @@ from sm3x.ops.augment import MLC_TRAIN_AUG, ssl_augment_batch
 from sm3x.ops.kmeans import spherical_kmeans
 from sm3x.train import common
 from sm3x.utils.logging import StatWriter
-from sm3x.utils import AverageMeter, setup_logger, save_checkpoint
+from sm3x.utils import (AverageMeter, ProgressMeter, setup_logger,
+                        save_checkpoint)
 
 
 def make_mlc_train_step(model, temperature: float, mean, std, aug_cfg,
@@ -232,6 +233,9 @@ class MLCTrainer(common.CheckpointableTrainer):
         self.logger.info(f"Clustering for epoch {epoch} done.")
 
         losses = AverageMeter("Loss", ":.4f")
+        n_steps = data.steps_per_epoch(cfg.optim.batch_size)
+        progress = ProgressMeter(n_steps, [losses],
+                                 prefix=f"Train epoch: [{epoch}]")
         pending = []
         for it, batch in enumerate(
                 data.batches(cfg.optim.batch_size, epoch, cfg.run.seed)):
@@ -244,6 +248,13 @@ class MLCTrainer(common.CheckpointableTrainer):
                 self.state, self.bank, db["derm"], db["derm_hw"],
                 db["clinic"], db["clinic_hw"], idx, assignments, rng)
             pending.append((loss, batch.derm.shape[0]))
+            if it % cfg.run.print_freq == 0 and it > 0:
+                # drain the deferred scalars: one host sync per print_freq
+                # steps keeps the live display showing a moving loss
+                for loss, n in pending:
+                    losses.update(float(loss), n)
+                pending.clear()
+                self.logger.info(progress.display(it))
         for loss, n in pending:  # deferred readback (one RTT, not per-step)
             losses.update(float(loss), n)
         return {"loss": losses.avg}

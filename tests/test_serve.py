@@ -173,6 +173,87 @@ def test_http_server_concurrent_requests(predictor):
         server.stop()
 
 
+def test_http_body_size_cap(predictor):
+    """Oversized /predict bodies are rejected with 413 before any decode
+    (ADVICE round 1: unbounded reads could exhaust host memory)."""
+    import json
+    import urllib.request
+
+    from sm3x.serve_http import PredictionServer
+
+    server = PredictionServer(predictor, host="127.0.0.1", port=0,
+                              max_body_mb=0.001).start()  # 1 KiB cap
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        body = json.dumps({"cases": [{"derm": "x" * 4096,
+                                      "clinic": "x" * 4096}]}).encode()
+        req = urllib.request.Request(
+            f"{base}/predict", data=body,
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTP 413"
+        except urllib.error.HTTPError as e:
+            assert e.code == 413
+    finally:
+        server.stop()
+
+
+def test_batcher_stop_fails_pending_requests(predictor):
+    """Requests that race _Batcher.stop()'s sentinel are failed with an
+    error instead of blocking their handler threads forever (ADVICE
+    round 1). New requests after stop are rejected immediately."""
+    import queue
+    import threading
+
+    from sm3x.serve_http import _Batcher
+
+    class SlowPredictor:
+        def predict(self, derm, clinic):
+            import time
+
+            time.sleep(0.3)
+            return [np.zeros((len(derm), 5), np.float32)] * 8
+
+    b = _Batcher(SlowPredictor(), max_batch=1, max_wait_ms=1.0)
+    errors: "queue.Queue" = queue.Queue()
+
+    def blocked_request():
+        try:
+            b.predict([np.zeros((8, 8, 3), np.uint8)],
+                      [np.zeros((8, 8, 3), np.uint8)])
+            errors.put(None)
+        except RuntimeError as e:
+            errors.put(str(e))
+
+    # occupy the loop with a slow dispatch, then queue one more request
+    # plus the stop sentinel so the second request races the shutdown
+    t1 = threading.Thread(target=blocked_request)
+    t1.start()
+    import time
+
+    time.sleep(0.1)  # let the first dispatch start
+    done = threading.Event()
+    slot: dict = {}
+    b.q.put(([np.zeros((8, 8, 3), np.uint8)],
+             [np.zeros((8, 8, 3), np.uint8)], done, slot))
+    b._stopped = True
+    b.q.put(b._SENTINEL)
+    t1.join(timeout=10)
+    b._thread.join(timeout=10)
+    b._fail_pending("server stopped")
+    assert done.wait(timeout=5), "pending request was never released"
+    # the raced request either got served (it beat the sentinel) or errored
+    assert ("probs" in slot) or ("error" in slot)
+    # a request arriving after stop is rejected immediately
+    try:
+        b.predict([np.zeros((8, 8, 3), np.uint8)],
+                  [np.zeros((8, 8, 3), np.uint8)])
+        assert False, "expected rejection after stop"
+    except RuntimeError:
+        pass
+
+
 def test_http_batching_coalesces_distinct_requests(predictor):
     """Dynamic batching: concurrent requests with DIFFERENT images each
     get THEIR OWN predictions (slicing of the coalesced batch), matching

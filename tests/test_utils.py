@@ -91,8 +91,13 @@ def test_warmup_cosine_schedule():
     assert float(sched(0)) < float(sched(9))
     np.testing.assert_allclose(float(sched(10)), 1.0, rtol=1e-5)
     assert float(sched(99)) < 0.05
-    # constant case returns the base lr
-    assert warmup_cosine_schedule(0.1, 0.0, 0, 10, 10) == 0.1
+    # warmup_epochs=0 + final_lr=0 is a real cosine decay to 0 (ADVICE
+    # round 1: this used to silently fall back to a constant lr),
+    # starting at full base lr on step 0 rather than a 1-step warmup
+    sched0 = warmup_cosine_schedule(0.1, 0.0, 0, 10, 10)
+    np.testing.assert_allclose(float(sched0(0)), 0.1, rtol=1e-6)
+    assert float(sched0(50)) < 0.1
+    np.testing.assert_allclose(float(sched0(100)), 0.0, atol=1e-8)
 
 
 def test_step_timer():
