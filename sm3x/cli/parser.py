@@ -27,6 +27,17 @@ def get_parser(desc: str = "sm3x training") -> argparse.ArgumentParser:
     p.add_argument("--std", nargs=3, type=float, default=[0.229, 0.224, 0.225])
     p.add_argument("--cache-size", type=int, default=320,
                    help="host decode canvas (TPU pipeline)")
+    # multi-crop recipe, consumed with --data-name SevenPCSwavDataset
+    # (group 0 = the two global views; further groups are local crops)
+    p.add_argument("--size-crops", nargs="*", type=int, default=[224, 96])
+    p.add_argument("--nmb-crops", nargs="*", type=int, default=[2, 6])
+    p.add_argument("--min-scale-crops", nargs="*", type=float,
+                   default=[0.5, 0.14])
+    p.add_argument("--max-scale-crops", nargs="*", type=float,
+                   default=[1.0, 0.5])
+    p.add_argument("--local-loss-weight", type=float, default=1.0,
+                   help="weight of each multi-crop local-view NT-Xent "
+                   "term (SSL pretraining with SevenPCSwavDataset only)")
 
     # model
     p.add_argument("-a", "--arch", default="resnet18", type=str)
@@ -101,6 +112,10 @@ def base_configs(args) -> tuple:
         img_sz=tuple(args.img_sz), n_classes=args.n_classes,
         mean=tuple(args.mean), std=tuple(args.std),
         cache_size=args.cache_size,
+        size_crops=tuple(getattr(args, "size_crops", (224, 96))),
+        nmb_crops=tuple(getattr(args, "nmb_crops", (2, 6))),
+        min_scale_crops=tuple(getattr(args, "min_scale_crops", (0.5, 0.14))),
+        max_scale_crops=tuple(getattr(args, "max_scale_crops", (1.0, 0.5))),
     )
     optim = OptimConfig(
         epochs=args.epochs, batch_size=args.batch_size, base_lr=args.base_lr,
@@ -136,6 +151,7 @@ def ssl_config(args) -> SSLConfig:
         num_labels=args.num_labels,
         use_pallas_ntxent=getattr(args, "use_pallas_ntxent", False),
         use_pallas_augment=getattr(args, "use_pallas_augment", False),
+        local_loss_weight=getattr(args, "local_loss_weight", 1.0),
     )
     return SSLConfig(data=data, model=model, optim=optim, run=run,
                      modality_weights=tuple(args.modality_weights))

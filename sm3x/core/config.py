@@ -27,6 +27,15 @@ class DataConfig:
     cache_size: int = 320
     # black-border crop (datasets.py:499)
     crop_amount: int = 25
+    # SwAV-style multi-crop recipe, consumed when --data-name
+    # SevenPCSwavDataset (reference datasets.py:608-707 reads identically
+    # named args its own parser never defines — the dataset is
+    # CLI-unreachable there; sm3x defines the flags with SwAV defaults).
+    # Group 0 = the two global views; further groups are local crops.
+    size_crops: Tuple[int, ...] = (224, 96)
+    nmb_crops: Tuple[int, ...] = (2, 6)
+    min_scale_crops: Tuple[float, ...] = (0.5, 0.14)
+    max_scale_crops: Tuple[float, ...] = (1.0, 0.5)
 
 
 @dataclasses.dataclass
@@ -60,6 +69,10 @@ class ModelConfig:
     # by splitting the global batch into `world_size` groups; "global"
     # contrasts over the full batch (stronger but different loss scale).
     negatives: str = "local"
+    # weight of the multi-crop local-view NT-Xent terms (each local view
+    # contrasts against global view 1 of its modality); only consumed
+    # with --data-name SevenPCSwavDataset
+    local_loss_weight: float = 1.0
 
 
 @dataclasses.dataclass

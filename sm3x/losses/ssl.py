@@ -28,9 +28,13 @@ def ssl_loss(
     groups: int = 1,
     modality_weights=(1.0, 1.0),
     use_pallas: bool = False,
+    local_weight: float = 1.0,
 ):
-    """outputs: the dict returned by SimCLRSkinV3/V32.__call__.
-    Returns (total, {"derm": .., "clinic": .., "cross": ..}).
+    """outputs: the dict returned by SimCLRSkinV3/V32.__call__ (or
+    .multicrop, which adds derm_local_z/clinic_local_z tuples — each local
+    view then contributes an NT-Xent against global view 1 of its
+    modality, averaged over views and weighted by `local_weight`).
+    Returns (total, {"derm": .., "clinic": .., "cross": .., ["local"]}).
     `use_pallas` routes each group's NT-Xent through the fused Pallas TPU
     kernel (sm3x.ops.ntxent_pallas) instead of the XLA composition."""
     b2 = outputs["derm_z"].shape[0]
@@ -70,4 +74,14 @@ def ssl_loss(
         raise ValueError(f"style must be 0/1/2, got {style}")
 
     total = modality_weights[0] * derm_loss + modality_weights[1] * clinic_loss + cross
-    return total, {"derm": derm_loss, "clinic": clinic_loss, "cross": cross}
+    parts = {"derm": derm_loss, "clinic": clinic_loss, "cross": cross}
+
+    locals_d = outputs.get("derm_local_z", ())
+    locals_c = outputs.get("clinic_local_z", ())
+    if locals_d or locals_c:
+        terms = [nt(lz, outputs["derm_z"][:b]) for lz in locals_d]
+        terms += [nt(lz, outputs["clinic_z"][:b]) for lz in locals_c]
+        local = jnp.mean(jnp.stack(terms))
+        parts["local"] = local
+        total = total + local_weight * local
+    return total, parts

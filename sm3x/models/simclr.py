@@ -177,6 +177,25 @@ class SimCLRSkinV3(nn.Module):
             self.clinic_backbone.extract(clinic_imgs, train),
         )
 
+    def multicrop(self, derm_imgs, clinic_imgs, derm_locals, clinic_locals,
+                  train: bool = True):
+        """SwAV-style multi-crop forward (sm3x extension — the reference's
+        SevenPCSwavDataset, datasets.py:608-707, is CLI-unreachable there):
+        the standard two-global-view forward plus intra-projected local
+        views. Each local view is encoded and projected by its modality's
+        intra projector as its own BN batch; the loss pairs each local
+        against global view 1 (sm3x.losses.ssl)."""
+        out = self(derm_imgs, clinic_imgs, train)
+        out["derm_local_z"] = tuple(
+            self.derm_backbone.projector(
+                self.derm_backbone.encoder(v, train), train)
+            for v in derm_locals)
+        out["clinic_local_z"] = tuple(
+            self.clinic_backbone.projector(
+                self.clinic_backbone.encoder(v, train), train)
+            for v in clinic_locals)
+        return out
+
 
 def SimCLRSkinV32(**kw) -> SimCLRSkinV3:
     """Independent derm/clinic cross projectors (simclr.py:399-482)."""

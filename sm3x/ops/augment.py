@@ -332,11 +332,16 @@ def multicrop_augment_batch(rng, canvases, valid_hw, mean, std,
                             size_crops=(224, 96), nmb_crops=(2, 6),
                             min_scale_crops=(0.5, 0.14),
                             max_scale_crops=(1.0, 0.5),
-                            base_cfg: AugConfig = SSL_AUG):
+                            base_cfg: AugConfig = SSL_AUG,
+                            aug_fn=None):
     """SwAV-style multi-crop (reference SevenPCSwavDataset,
     datasets.py:608-679): nmb_crops[i] views at resolution size_crops[i]
     with per-resolution RRC scale ranges. Returns a list of augmented
-    view batches grouped by resolution."""
+    view batches grouped by resolution (the SSL trainer consumes this for
+    --data-name SevenPCSwavDataset). `aug_fn` selects the augmentation
+    implementation (default: the XLA chain; pass the Pallas-fused fn from
+    get_ssl_augment_fn to match --use-pallas-augment)."""
+    aug_fn = aug_fn or ssl_augment_batch
     views = []
     idx = 0
     for size, n, lo, hi in zip(size_crops, nmb_crops, min_scale_crops,
@@ -345,7 +350,7 @@ def multicrop_augment_batch(rng, canvases, valid_hw, mean, std,
             base_cfg, out_size=(size, size), rrc_scale=(lo, hi))
         for _ in range(n):
             k = jax.random.fold_in(rng, idx)
-            views.append(ssl_augment_batch(k, canvases, valid_hw, mean, std, cfg))
+            views.append(aug_fn(k, canvases, valid_hw, mean, std, cfg))
             idx += 1
     return views
 

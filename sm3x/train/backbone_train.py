@@ -29,10 +29,47 @@ from sm3x.utils import AverageMeter, ProgressMeter, setup_logger, save_checkpoin
 
 def make_ssl_train_step(model, style: int, temperature: float, groups: int,
                         mean, std, aug_cfg=SSL_AUG, use_pallas: bool = False,
-                        use_pallas_aug: bool = False, mesh=None):
-    """Returns jitted (state, canvases..., rng) -> (state, metrics)."""
+                        use_pallas_aug: bool = False, mesh=None,
+                        multicrop=None):
+    """Returns jitted (state, canvases..., rng) -> (state, metrics).
+
+    `multicrop`: None, or a dict with size_crops/nmb_crops/min_scale_crops/
+    max_scale_crops/local_weight (the SevenPCSwavDataset recipe): crop
+    group 0 configures the two global views; each further group adds
+    nmb_crops[i] local views at size_crops[i], every one an extra
+    encoder+projector pass whose NT-Xent pairs it with global view 1 of
+    its modality (sm3x.losses.ssl). All views of all resolutions run in
+    the SAME jitted program — static shapes per resolution group."""
+    import dataclasses as _dc
 
     _aug = get_ssl_augment_fn(use_pallas_aug, mesh)
+
+    local_weight = 1.0
+    if multicrop is not None:
+        sizes = tuple(multicrop["size_crops"])
+        counts = tuple(multicrop["nmb_crops"])
+        los = tuple(multicrop["min_scale_crops"])
+        his = tuple(multicrop["max_scale_crops"])
+        if not (len(sizes) == len(counts) == len(los) == len(his)):
+            raise ValueError("size/nmb/min-scale/max-scale crop lists must "
+                             f"have equal lengths, got {sizes}/{counts}/"
+                             f"{los}/{his}")
+        if counts[0] != 2:
+            raise ValueError(f"crop group 0 is the two global SimCLR views; "
+                             f"--nmb-crops must start with 2, got {counts}")
+        local_weight = float(multicrop.get("local_weight", 1.0))
+        aug_cfg = _dc.replace(aug_cfg, out_size=(sizes[0], sizes[0]),
+                              rrc_scale=(los[0], his[0]))
+
+        def augment_multicrop(rng, canvases, hw):
+            """All views (globals first) via the shared multi-crop op."""
+            from sm3x.ops.augment import multicrop_augment_batch
+
+            views = multicrop_augment_batch(
+                rng, canvases, hw, mean, std, size_crops=sizes,
+                nmb_crops=counts, min_scale_crops=los, max_scale_crops=his,
+                base_cfg=aug_cfg, aug_fn=_aug)
+            return views[0], views[1], views[2:]
 
     def augment_views(rng, canvases, hw):
         k1, k2 = jax.random.split(rng)
@@ -43,16 +80,28 @@ def make_ssl_train_step(model, style: int, temperature: float, groups: int,
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, derm, derm_hw, clinic, clinic_hw, rng):
         kd, kc = jax.random.split(rng)
-        d1, d2 = augment_views(kd, derm, derm_hw)
-        c1, c2 = augment_views(kc, clinic, clinic_hw)
+        if multicrop is not None:
+            d1, d2, d_locals = augment_multicrop(kd, derm, derm_hw)
+            c1, c2, c_locals = augment_multicrop(kc, clinic, clinic_hw)
+        else:
+            d1, d2 = augment_views(kd, derm, derm_hw)
+            c1, c2 = augment_views(kc, clinic, clinic_hw)
 
         def loss_fn(params):
-            outs, mut = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                (d1, d2), (c1, c2), train=True, mutable=["batch_stats"],
-            )
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            if multicrop is not None:
+                outs, mut = model.apply(
+                    variables, (d1, d2), (c1, c2), d_locals, c_locals,
+                    train=True, mutable=["batch_stats"], method="multicrop",
+                )
+            else:
+                outs, mut = model.apply(
+                    variables, (d1, d2), (c1, c2), train=True,
+                    mutable=["batch_stats"],
+                )
             total, parts = ssl_loss(outs, style, temperature, groups,
-                                    use_pallas=use_pallas)
+                                    use_pallas=use_pallas,
+                                    local_weight=local_weight)
             return total, (mut["batch_stats"], parts)
 
         (loss, (new_stats, parts)), grads = jax.value_and_grad(
@@ -140,11 +189,26 @@ class SSLTrainer(common.CheckpointableTrainer):
         import dataclasses as _dc
 
         aug_cfg = _dc.replace(SSL_AUG, out_size=tuple(cfg.data.img_sz))
+        multicrop = None
+        if cfg.data.data_name == "SevenPCSwavDataset":
+            # the multi-crop dataset name selects the SwAV-style step:
+            # crop group 0 = the two globals, further groups = locals
+            multicrop = {
+                "size_crops": cfg.data.size_crops,
+                "nmb_crops": cfg.data.nmb_crops,
+                "min_scale_crops": cfg.data.min_scale_crops,
+                "max_scale_crops": cfg.data.max_scale_crops,
+                "local_weight": m.local_loss_weight,
+            }
+            self.logger.info(
+                f"multi-crop SSL: sizes {cfg.data.size_crops}, counts "
+                f"{cfg.data.nmb_crops}, local weight {m.local_loss_weight}")
         self.train_step = make_ssl_train_step(
             self.model, self.style, m.temperature, self.groups,
             tuple(cfg.data.mean), tuple(cfg.data.std), aug_cfg,
             use_pallas=m.use_pallas_ntxent,
-            use_pallas_aug=m.use_pallas_augment, mesh=self.mesh)
+            use_pallas_aug=m.use_pallas_augment, mesh=self.mesh,
+            multicrop=multicrop)
         self.start_epoch = 0
 
     def train_epoch(self, data, epoch: int) -> dict:

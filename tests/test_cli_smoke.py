@@ -81,3 +81,27 @@ def test_full_cli_pipeline(dataset, tmp_path):
         "--pretrain-path", ckpt, "--finetune", "fc", "-lr", "1e-3",
         "--log-path", bk_eval_log], work)
     assert os.path.exists(os.path.join(bk_eval_log, "results.csv"))
+
+
+def test_cli_multicrop_ssl(dataset, tmp_path):
+    """--data-name SevenPCSwavDataset through the real backbone_train CLI
+    runs the multi-crop step (local views in the loss) and checkpoints."""
+    work = str(tmp_path)
+    log = os.path.join(work, "swav")
+    res = run_tool("backbone_train.py", [
+        "--data-name", "SevenPCSwavDataset",
+        "--img-sz", "32", "32", "--cache-size", "48",
+        "--mean", "0.78", "0.67", "0.60",
+        "--std", "0.21", "0.25", "0.26",
+        "-a", "resnet18", "--epochs", "1", "-b", "8", "--save-freq", "1",
+        "--data-path", dataset, "--arch-version", "v32",
+        "--proj-dim", "16", "--temperature", "0.1", "-lr", "1e-4",
+        "--size-crops", "32", "16", "--nmb-crops", "2", "2",
+        "--min-scale-crops", "0.5", "0.14",
+        "--max-scale-crops", "1.0", "0.5",
+        "--local-loss-weight", "0.5",
+        "--log-path", log], work)
+    assert os.path.exists(os.path.join(log, "ckp_0.msgpack"))
+    assert "multi-crop SSL" in res.stdout + res.stderr
+    cfg_dump = open(os.path.join(log, "configs.txt")).read()
+    assert "size_crops" in cfg_dump and "local_loss_weight" in cfg_dump
