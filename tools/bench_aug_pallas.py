@@ -1,5 +1,9 @@
 """TPU check + microbench: fused Pallas photometric chain vs XLA chain."""
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -149,7 +149,13 @@ def bench_pil_augmentation(n: int = 256) -> float:
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    torch.set_num_threads(os.cpu_count() or 8)
+    # os.cpu_count() reports 1 in this sandbox; sched_getaffinity sees the
+    # real core set
+    try:
+        n_cpus = len(os.sched_getaffinity(0))
+    except AttributeError:
+        n_cpus = os.cpu_count() or 8
+    torch.set_num_threads(max(n_cpus, 8))
 
     aug = bench_pil_augmentation()
     print(json.dumps({
@@ -164,7 +170,7 @@ def main():
         "metric": "reference_torch_cpu_ssl_images_per_sec",
         "value": round(imgs, 2),
         "unit": f"images/sec (fp32 fwd+bwd+AdamW, batch {batch}, "
-                f"{os.cpu_count()} CPU threads)",
+                f"{torch.get_num_threads()} CPU threads)",
     }), flush=True)
 
 
