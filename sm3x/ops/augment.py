@@ -128,6 +128,15 @@ def _resample_matrix(n_in: int, n_out: int, crop_start, crop_size, antialias):
     i = jax.lax.broadcasted_iota(jnp.float32, (n_out, n_in), 1)
     src = crop_start + (o + 0.5) * scale - 0.5
     w = jnp.maximum(0.0, 1.0 - jnp.abs(i - src) / support)
+    # confine the filter to the crop window: source pixels outside
+    # [crop_start, crop_start+crop_size) get zero weight and the row
+    # renormalizes — the clamp-to-edge semantics of PIL/torch resize on a
+    # PRE-cropped image. Without this, crop-edge outputs bleed letterbox
+    # padding (or out-of-crop content) into the result, which diverges
+    # from the reference's crop-then-resize by up to whole intensity
+    # levels when the valid region is small.
+    inside = (i >= crop_start - 0.5) & (i <= crop_start + crop_size - 0.5)
+    w = jnp.where(inside, w, 0.0)
     return w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-8)
 
 

@@ -24,7 +24,8 @@ import numpy as np
 
 def evaluate(pretrain_path, data_path, arch="resnet50", mlc_proj_dim=512,
              sa_dim_ff=128, batch_size=64, cache_size=320, test_sz=224,
-             mean=(0.7833, 0.6712, 0.6026), std=(0.2139, 0.2472, 0.2571)):
+             mean=(0.7833, 0.6712, 0.6026), std=(0.2139, 0.2472, 0.2571),
+             fp32=False):
     import jax
     import jax.numpy as jnp
 
@@ -34,10 +35,15 @@ def evaluate(pretrain_path, data_path, arch="resnet50", mlc_proj_dim=512,
     from sm3x.ops.augment import eval_resize_batch
     from sm3x.api import build_evaluator, load_weights
 
+    if fp32:
+        # true-f32 matmuls/convs (TPU defaults f32 dots to fast bf16
+        # passes, ~1e-2 relative — too loose for a torch-parity lock)
+        jax.config.update("jax_default_matmul_precision", "highest")
     enable_compilation_cache()
     mesh = make_mesh()
     model = build_evaluator(arch=arch, mlc_proj_dim=mlc_proj_dim,
-                            sa_dim_ff=sa_dim_ff)
+                            sa_dim_ff=sa_dim_ff,
+                            dtype=jnp.float32 if fp32 else jnp.bfloat16)
     variables = load_weights(pretrain_path, arch)
 
     @jax.jit
@@ -103,6 +109,11 @@ def main():
     p.add_argument("--mlc-proj-dim", type=int, default=512)
     p.add_argument("--sa-dim-ff", type=int, default=128)
     p.add_argument("-b", "--batch-size", type=int, default=64)
+    p.add_argument("--test-sz", type=int, default=224)
+    p.add_argument("--cache-size", type=int, default=320)
+    p.add_argument("--fp32", action="store_true",
+                   help="fp32 compute instead of bf16 (tight numeric "
+                   "parity against torch-computed expectations)")
     p.add_argument("--mean", nargs=3, type=float,
                    default=[0.7833, 0.6712, 0.6026])
     p.add_argument("--std", nargs=3, type=float,
@@ -113,8 +124,9 @@ def main():
 
     preds, targets = evaluate(
         args.pretrain_path, args.data_path, args.arch, args.mlc_proj_dim,
-        args.sa_dim_ff, args.batch_size, mean=tuple(args.mean),
-        std=tuple(args.std))
+        args.sa_dim_ff, args.batch_size, cache_size=args.cache_size,
+        test_sz=args.test_sz, mean=tuple(args.mean), std=tuple(args.std),
+        fp32=args.fp32)
     write_results_csv(args.out, preds, targets)
     print(f"wrote {args.out}")
 
