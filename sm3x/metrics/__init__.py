@@ -48,13 +48,37 @@ def binary_auroc_from_scores(scores: np.ndarray, positives: np.ndarray) -> float
     return float(u / (n_pos * n_neg))
 
 
-def multiclass_auroc(preds: np.ndarray, target: np.ndarray,
-                     num_classes: int, average=None) -> np.ndarray:
-    """preds (N, C) logits or probabilities; target (N,) ints."""
+def _as_probabilities(preds: np.ndarray, probabilities=None) -> np.ndarray:
+    """torchmetrics' input convention: values outside [0,1] are logits
+    (softmaxed), else probabilities. That heuristic silently mis-reads
+    early-training logits that happen to land inside [0,1] — so when it
+    fires on rows that do NOT sum to 1 we warn, and `probabilities` lets
+    callers state the input kind explicitly (True = already
+    probabilities, False = logits, None = heuristic)."""
     preds = np.asarray(preds, dtype=np.float64)
-    target = np.asarray(target)
+    if probabilities is False:
+        return softmax(preds, axis=-1)
+    if probabilities is True:
+        return preds
     if preds.min() < 0 or preds.max() > 1:
-        preds = softmax(preds, axis=-1)
+        return softmax(preds, axis=-1)
+    if preds.size and not np.allclose(preds.sum(axis=-1), 1.0, atol=1e-3):
+        import warnings
+
+        warnings.warn(
+            "metric inputs all fall in [0,1] and are being treated as "
+            "probabilities (torchmetrics convention), but rows do not sum "
+            "to 1 — if these are logits, pass probabilities=False",
+            stacklevel=3)
+    return preds
+
+
+def multiclass_auroc(preds: np.ndarray, target: np.ndarray,
+                     num_classes: int, average=None,
+                     probabilities=None) -> np.ndarray:
+    """preds (N, C) logits or probabilities; target (N,) ints."""
+    preds = _as_probabilities(preds, probabilities)
+    target = np.asarray(target)
     out = np.array([
         binary_auroc_from_scores(preds[:, c], target == c)
         for c in range(num_classes)
@@ -128,15 +152,13 @@ def binary_average_precision(scores: np.ndarray, positives: np.ndarray) -> float
     return float((precision * recall_step).sum())
 
 
-def multiclass_average_precision(preds, target, num_classes, average=None):
-    """One-vs-rest per-class AP; preds (N, C) logits or probabilities.
-    The softmax-if-outside-[0,1] heuristic is torchmetrics' own input
-    convention (shared with multiclass_auroc above); pass probabilities
-    explicitly if early-training logits might land inside [0,1]."""
-    preds = np.asarray(preds, dtype=np.float64)
+def multiclass_average_precision(preds, target, num_classes, average=None,
+                                 probabilities=None):
+    """One-vs-rest per-class AP; preds (N, C) logits or probabilities
+    (see _as_probabilities for the input convention and the explicit
+    `probabilities` override)."""
+    preds = _as_probabilities(preds, probabilities)
     target = np.asarray(target)
-    if preds.min() < 0 or preds.max() > 1:
-        preds = softmax(preds, axis=-1)
     out = np.array([
         binary_average_precision(preds[:, c], target == c)
         for c in range(num_classes)

@@ -115,6 +115,43 @@ def make_ssl_train_step(model, style: int, temperature: float, groups: int,
 
 
 
+# torchvision download URLs for the pretrained enums the reference recipe
+# names (run.sh:11 uses IMAGENET1K_V1 on resnet50; reference
+# src/models/resnet.py:378-724 defines the enum->URL table)
+_TORCHVISION_URLS = {
+    ("resnet18", "IMAGENET1K_V1"):
+        "https://download.pytorch.org/models/resnet18-f37072fd.pth",
+    ("resnet34", "IMAGENET1K_V1"):
+        "https://download.pytorch.org/models/resnet34-b627a593.pth",
+    ("resnet50", "IMAGENET1K_V1"):
+        "https://download.pytorch.org/models/resnet50-0676ba61.pth",
+    ("resnet50", "IMAGENET1K_V2"):
+        "https://download.pytorch.org/models/resnet50-11ad3fa6.pth",
+    ("resnet101", "IMAGENET1K_V1"):
+        "https://download.pytorch.org/models/resnet101-63fe2227.pth",
+}
+
+
+def _arch_weights_help(value: str, arch: str) -> str:
+    """Actionable --arch-weights error: this environment has no network,
+    so enum names (the reference's torchvision syntax) and missing paths
+    both need the user to stage a local file."""
+    url = _TORCHVISION_URLS.get((arch, value))
+    if url is not None:
+        return (
+            f"--arch-weights '{value}' is a torchvision weight enum; this "
+            f"environment cannot download it. On a connected machine run\n"
+            f"    curl -LO {url}\n"
+            f"then pass the downloaded file:  --arch-weights "
+            f"{url.rsplit('/', 1)[1]}")
+    return (
+        f"--arch-weights '{value}' is not a file. Pass the path to a "
+        f"torchvision {arch} checkpoint (.pth holding the state_dict, e.g. "
+        f"torch.save(torchvision.models.{arch}(weights='IMAGENET1K_V1')"
+        f".state_dict(), 'init.pth') on a machine with torchvision); sm3x "
+        f"converts it on load (sm3x.utils.torch_convert.convert_resnet).")
+
+
 def _device_wrap(data, mesh):
     """HBM-resident dataset when it's a host PairedImageData (removes the
     per-step host->device canvas upload; sm3x.data.device_data)."""
@@ -169,7 +206,10 @@ class SSLTrainer(common.CheckpointableTrainer):
         # pass the torchvision .pth file path here — no network fetch).
         import os as _os
 
-        if m.arch_weights and _os.path.isfile(str(m.arch_weights)):
+        if m.arch_weights:
+            if not _os.path.isfile(str(m.arch_weights)):
+                raise FileNotFoundError(_arch_weights_help(
+                    str(m.arch_weights), m.arch))
             from sm3x.utils import torch_convert as _tc
 
             sd = _tc.load_torch_state_dict(str(m.arch_weights))

@@ -148,3 +148,36 @@ def test_mean_average_precision_keys():
     assert set(out) == {f"mAP_{c}" for c in CLASSES_NAME} | {"mAP_AVG",
                                                              "mAP_SEL_AVG"}
     assert all(0.0 <= v <= 1.0 for v in out.values())
+
+
+def test_probability_heuristic_warns_and_override():
+    """The torchmetrics in-[0,1] heuristic warns when it fires on rows
+    that do not sum to 1 (likely logits), and probabilities=False forces
+    the softmax (VERDICT r1 weak #6)."""
+    import warnings
+
+    import numpy as np
+
+    from sm3x.metrics import multiclass_auroc
+
+    target = np.array([0, 1, 2, 0, 1, 2])
+    # logits that all land inside [0,1] but rows don't sum to 1
+    trap = np.random.default_rng(0).uniform(0.1, 0.9, (6, 3))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        multiclass_auroc(trap, target, 3)
+    assert any("probabilities=False" in str(x.message) for x in w)
+
+    # genuine probabilities: no warning
+    probs = trap / trap.sum(axis=1, keepdims=True)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        multiclass_auroc(probs, target, 3)
+    assert not w
+
+    # explicit override: forcing softmax must equal metric-on-softmax
+    from sm3x.metrics import softmax
+
+    a = multiclass_auroc(trap, target, 3, probabilities=False)
+    b = multiclass_auroc(softmax(trap, axis=-1), target, 3)
+    np.testing.assert_allclose(a, b)

@@ -100,6 +100,70 @@ def test_warmup_cosine_schedule():
     np.testing.assert_allclose(float(sched0(100)), 0.0, atol=1e-8)
 
 
+def test_statwriter_wandb_fake_module(tmp_path, monkeypatch):
+    """Exercise every wandb branch of StatWriter behind a fake module
+    (wandb is not installed here; VERDICT r1 weak #7): init config,
+    define_metric summaries, step logging, log-file upload on close,
+    finish."""
+    import sys
+    import types
+
+    calls = {"init": [], "define": [], "log": [], "save": [], "finish": 0}
+    fake = types.ModuleType("wandb")
+    fake.init = lambda **kw: calls["init"].append(kw)
+    fake.define_metric = lambda k, summary: calls["define"].append((k, summary))
+    fake.log = lambda items, step: calls["log"].append((items, step))
+    fake.save = lambda path, base_path: calls["save"].append(path)
+    def _finish():
+        calls["finish"] += 1
+    fake.finish = _finish
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    from sm3x.utils.logging import StatWriter
+
+    log_path = str(tmp_path)
+    open(f"{log_path}/log.txt", "w").write("hello")
+    open(f"{log_path}/configs.txt", "w").write("arch: resnet50")
+
+    w = StatWriter(log_path, tensorboard=False, wandb=True,
+                   project="sm3x-test", config={"arch": "resnet50"})
+    assert w.wb is fake
+    assert calls["init"][0]["project"] == "sm3x-test"
+    assert calls["init"][0]["config"] == {"arch": "resnet50"}
+
+    w.define_summaries({"val/AUC_AVG": "max", "train/loss": "min"})
+    assert ("val/AUC_AVG", "max") in calls["define"]
+
+    w.log({"loss": 1.5, "AUC_AVG": 0.8}, step=3, prefix="val/")
+    assert calls["log"] == [({"val/loss": 1.5, "val/AUC_AVG": 0.8}, 3)]
+
+    w.close()
+    # upload-on-close picked up exactly the run files that exist
+    assert sorted(os.path.basename(p) for p in calls["save"]) == [
+        "configs.txt", "log.txt"]
+    assert calls["finish"] == 1
+
+
+def test_statwriter_wandb_init_failure_degrades(tmp_path, monkeypatch):
+    """A wandb import/init failure must silently disable the sink, not
+    break training (the lazy-gate contract)."""
+    import sys
+    import types
+
+    fake = types.ModuleType("wandb")
+    def _boom(**kw):
+        raise RuntimeError("no network")
+    fake.init = _boom
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    from sm3x.utils.logging import StatWriter
+
+    w = StatWriter(str(tmp_path), wandb=True)
+    assert w.wb is None
+    w.log({"loss": 1.0}, 0)  # no-op, no raise
+    w.close()
+
+
 def test_step_timer():
     from sm3x.utils.profiling import StepTimer
 
