@@ -70,7 +70,17 @@ def backbone_train_main():
                              cache_size=cfg.data.cache_size,
                              workers=cfg.run.workers)
         logger.info(f"Building train data done with {data.n} images loaded.")
-        trainer = SSLTrainer(cfg, logger=logger)
+        run_cfg = cfg
+        if args.arch_version == "trimodal":
+            # size the metadata embeddings from THIS dataset's vocabularies
+            sizes = getattr(data, "meta_vocab_sizes", None)
+            if sizes:
+                import dataclasses as _dc
+
+                run_cfg = _dc.replace(cfg, model=_dc.replace(
+                    cfg.model, meta_vocab_sizes=tuple(sizes)))
+                logger.info(f"trimodal metadata vocab sizes: {tuple(sizes)}")
+        trainer = SSLTrainer(run_cfg, logger=logger)
         trainer.resume()  # --resume-path: orbax dir or msgpack file
         trainer.fit(data)
 

@@ -73,6 +73,10 @@ class ModelConfig:
     # contrasts against global view 1 of its modality); only consumed
     # with --data-name SevenPCSwavDataset
     local_loss_weight: float = 1.0
+    # metadata vocab sizes for --arch-version trimodal (derived from the
+    # dataset's metadata fields by the CLI; this default matches Derm7pt's
+    # elevation/sex/location cardinality upper bounds)
+    meta_vocab_sizes: Tuple[int, ...] = (4, 4, 16)
 
 
 @dataclasses.dataclass

@@ -27,6 +27,8 @@ class DeviceData:
         self.mesh = mesh
         self.n = data.n
         self.labels = data.labels
+        self.meta_codes = getattr(data, "meta_codes", None)
+        self.meta_vocab_sizes = getattr(data, "meta_vocab_sizes", None)
         self._derm = replicate(mesh, jnp.asarray(data.derm.canvases))
         self._derm_hw = replicate(mesh, jnp.asarray(data.derm.valid_hw))
         self._clinic = replicate(mesh, jnp.asarray(data.clinic.canvases))
@@ -60,4 +62,6 @@ class DeviceData:
             clinic, clinic_hw = gather(self._clinic, self._clinic_hw, idx)
             yield Batch(derm=derm, derm_hw=derm_hw, clinic=clinic,
                         clinic_hw=clinic_hw, label=self.labels[sel],
-                        index=sel.astype(np.int32), mask=mask)
+                        index=sel.astype(np.int32), mask=mask,
+                        meta=(None if self.meta_codes is None
+                              else self.meta_codes[sel]))

@@ -103,22 +103,33 @@ class Batch:
     label: np.ndarray         # (B, 8) int32
     index: np.ndarray         # (B,) int32 dataset indices
     mask: np.ndarray          # (B,) bool — False on wrap-padding (eval)
+    meta: np.ndarray = None   # (B, F) int32 metadata codes (tri-modal)
 
 
 class PairedImageData:
     """A split of paired derm/clinic canvases + labels, ready to batch."""
 
     def __init__(self, derm_paths, clinic_paths, labels,
-                 cache_size: int = 320, crop_amount: int = 25, workers: int = 8):
+                 cache_size: int = 320, crop_amount: int = 25, workers: int = 8,
+                 meta_codes=None, meta_vocab_sizes=None):
         self.derm = ImageStore(derm_paths, cache_size, crop_amount, workers)
         self.clinic = ImageStore(clinic_paths, cache_size, crop_amount, workers)
         self.labels = np.asarray(labels, dtype=np.int32)
         self.n = len(derm_paths)
+        # categorical patient metadata codes — the third modality of the
+        # tri-modal model (sm3x/models/trimodal.py)
+        self.meta_codes = (None if meta_codes is None
+                           else np.asarray(meta_codes, dtype=np.int32))
+        self.meta_vocab_sizes = meta_vocab_sizes
 
     @classmethod
     def from_meta(cls, meta, split: str, cache_size: int = 320, workers: int = 8):
         d, c, y = meta.examples(split)
-        return cls(d, c, y, cache_size, meta.crop_amount, workers)
+        idx = meta.split_indexes(split)
+        return cls(d, c, y, cache_size, meta.crop_amount, workers,
+                   meta_codes=meta.meta_codes[idx],
+                   meta_vocab_sizes=[len(meta.meta_vocabs[f])
+                                     for f in meta.meta_fields])
 
     def epoch_order(self, epoch: int, seed: int = 3407, shuffle: bool = True):
         """Deterministic per-epoch permutation (the reference's
@@ -153,6 +164,8 @@ class PairedImageData:
                 label=self.labels[sel],
                 index=sel.astype(np.int32),
                 mask=mask,
+                meta=(None if self.meta_codes is None
+                      else self.meta_codes[sel]),
             )
 
     def steps_per_epoch(self, batch_size: int) -> int:

@@ -115,6 +115,45 @@ def make_ssl_train_step(model, style: int, temperature: float, groups: int,
 
 
 
+def make_trimodal_train_step(model, temperature: float, groups: int,
+                             mean, std, aug_cfg=SSL_AUG,
+                             use_pallas_aug: bool = False, mesh=None):
+    """Tri-modal (derm + clinic + patient metadata) SSL step — the
+    BASELINE.json stretch goal. Same fused-augmentation front end as the
+    dual-modal step; the metadata branch gets two stochastic dropout
+    views (its augmentation analogue) and all cross-modal NT-Xent pairs
+    (sm3x.models.trimodal.trimodal_ssl_loss)."""
+    from sm3x.models.trimodal import trimodal_ssl_loss
+
+    _aug = get_ssl_augment_fn(use_pallas_aug, mesh)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, derm, derm_hw, clinic, clinic_hw, meta, rng):
+        kd, kc, kdrop = jax.random.split(rng, 3)
+        kd1, kd2 = jax.random.split(kd)
+        kc1, kc2 = jax.random.split(kc)
+        d1 = _aug(kd1, derm, derm_hw, mean, std, aug_cfg)
+        d2 = _aug(kd2, derm, derm_hw, mean, std, aug_cfg)
+        c1 = _aug(kc1, clinic, clinic_hw, mean, std, aug_cfg)
+        c2 = _aug(kc2, clinic, clinic_hw, mean, std, aug_cfg)
+
+        def loss_fn(params):
+            outs, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                (d1, d2), (c1, c2), meta, train=True,
+                mutable=["batch_stats"], rngs={"dropout": kdrop},
+            )
+            total, parts = trimodal_ssl_loss(outs, temperature, groups)
+            return total, (mut["batch_stats"], parts)
+
+        (loss, (new_stats, parts)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        return state, {"loss": loss, **parts}
+
+    return train_step
+
+
 # torchvision download URLs for the pretrained enums the reference recipe
 # names (run.sh:11 uses IMAGENET1K_V1 on resnet50; reference
 # src/models/resnet.py:378-724 defines the enum->URL table)
@@ -181,11 +220,23 @@ class SSLTrainer(common.CheckpointableTrainer):
         from sm3x.core.precision import policy_for
 
         self.policy = policy_for(cfg.optim.amp)
-        self.model, self.style = build_ssl_model(
-            m.arch_version, m.arch, m.proj_dim,
-            dtype=self.policy.compute_dtype,
-            remat=m.use_checkpoint,
-        )
+        self.is_trimodal = m.arch_version == "trimodal"
+        if self.is_trimodal:
+            # the BASELINE.json stretch goal: dual images + patient
+            # metadata third modality (sm3x/models/trimodal.py)
+            from sm3x.models.trimodal import TriModalSimCLR
+
+            self.model = TriModalSimCLR(
+                arch=m.arch, proj_dim=m.proj_dim,
+                meta_vocab_sizes=tuple(m.meta_vocab_sizes),
+                dtype=self.policy.compute_dtype, remat=m.use_checkpoint)
+            self.style = 0
+        else:
+            self.model, self.style = build_ssl_model(
+                m.arch_version, m.arch, m.proj_dim,
+                dtype=self.policy.compute_dtype,
+                remat=m.use_checkpoint,
+            )
         # per-device-negatives parity: world_size groups (SURVEY §2c)
         data_shards = int(self.mesh.devices.shape[0])
         self.groups = cfg.run.world_size or data_shards
@@ -198,9 +249,16 @@ class SSLTrainer(common.CheckpointableTrainer):
         dummy = jnp.zeros(img, jnp.float32)
         # jit the init: un-jitted flax init dispatches op-by-op (minutes
         # over a tunneled TPU); jitted it is one compile
-        variables = jax.jit(
-            lambda r: self.model.init(r, (dummy, dummy), (dummy, dummy),
-                                      train=False))(init_rng)
+        if self.is_trimodal:
+            codes = jnp.zeros((2, len(m.meta_vocab_sizes)), jnp.int32)
+            variables = jax.jit(
+                lambda r: self.model.init(
+                    {"params": r, "dropout": r}, (dummy, dummy),
+                    (dummy, dummy), codes, train=False))(init_rng)
+        else:
+            variables = jax.jit(
+                lambda r: self.model.init(r, (dummy, dummy), (dummy, dummy),
+                                          train=False))(init_rng)
         # --arch-weights: initialize both encoders from a torch ResNet
         # state-dict (the reference boots from IMAGENET1K_V1, run.sh:11;
         # pass the torchvision .pth file path here — no network fetch).
@@ -243,12 +301,22 @@ class SSLTrainer(common.CheckpointableTrainer):
             self.logger.info(
                 f"multi-crop SSL: sizes {cfg.data.size_crops}, counts "
                 f"{cfg.data.nmb_crops}, local weight {m.local_loss_weight}")
-        self.train_step = make_ssl_train_step(
-            self.model, self.style, m.temperature, self.groups,
-            tuple(cfg.data.mean), tuple(cfg.data.std), aug_cfg,
-            use_pallas=m.use_pallas_ntxent,
-            use_pallas_aug=m.use_pallas_augment, mesh=self.mesh,
-            multicrop=multicrop)
+        if self.is_trimodal:
+            if multicrop is not None:
+                raise ValueError("multi-crop (SevenPCSwavDataset) and "
+                                 "--arch-version trimodal are not "
+                                 "combinable")
+            self.train_step = make_trimodal_train_step(
+                self.model, m.temperature, self.groups,
+                tuple(cfg.data.mean), tuple(cfg.data.std), aug_cfg,
+                use_pallas_aug=m.use_pallas_augment, mesh=self.mesh)
+        else:
+            self.train_step = make_ssl_train_step(
+                self.model, self.style, m.temperature, self.groups,
+                tuple(cfg.data.mean), tuple(cfg.data.std), aug_cfg,
+                use_pallas=m.use_pallas_ntxent,
+                use_pallas_aug=m.use_pallas_augment, mesh=self.mesh,
+                multicrop=multicrop)
         self.start_epoch = 0
 
     def train_epoch(self, data, epoch: int) -> dict:
@@ -269,9 +337,22 @@ class SSLTrainer(common.CheckpointableTrainer):
                 "derm": batch.derm, "derm_hw": batch.derm_hw,
                 "clinic": batch.clinic, "clinic_hw": batch.clinic_hw,
             })
-            self.state, metrics = self.train_step(
-                self.state, device_batch["derm"], device_batch["derm_hw"],
-                device_batch["clinic"], device_batch["clinic_hw"], rng)
+            if self.is_trimodal:
+                if batch.meta is None:
+                    raise ValueError(
+                        "--arch-version trimodal needs a dataset with "
+                        "metadata codes (Derm7pt SevenPCBaseDataset "
+                        "provides them); this batch has none")
+                meta = shard_batch(self.mesh,
+                                   {"meta": np.asarray(batch.meta)})["meta"]
+                self.state, metrics = self.train_step(
+                    self.state, device_batch["derm"], device_batch["derm_hw"],
+                    device_batch["clinic"], device_batch["clinic_hw"],
+                    meta, rng)
+            else:
+                self.state, metrics = self.train_step(
+                    self.state, device_batch["derm"], device_batch["derm_hw"],
+                    device_batch["clinic"], device_batch["clinic_hw"], rng)
             pending.append((metrics["loss"], batch.derm.shape[0]))
             batch_time.update(time.time() - end)
             end = time.time()
