@@ -96,7 +96,7 @@ def test_cli_multicrop_ssl(dataset, tmp_path):
         "-a", "resnet18", "--epochs", "1", "-b", "8", "--save-freq", "1",
         "--data-path", dataset, "--arch-version", "v32",
         "--proj-dim", "16", "--temperature", "0.1", "-lr", "1e-4",
-        "--size-crops", "32", "16", "--nmb-crops", "2", "2",
+        "--size-crops", "32", "16", "--nmb-crops", "2", "1",
         "--min-scale-crops", "0.5", "0.14",
         "--max-scale-crops", "1.0", "0.5",
         "--local-loss-weight", "0.5",

@@ -98,9 +98,11 @@ def test_ssl_multicrop_train_step(tmp_path):
     step (VERDICT round 1: the name used to silently alias the base
     dataset with no multi-crop consumer): local views contribute a
     'local' NT-Xent term and the step trains."""
+    # 2 locals (not more): compile cost grows with every unrolled local
+    # encoder instance — this test cost 26 min at (2, 3) views @48px
     cfg = SSLConfig(
-        data=DataConfig(data_name="SevenPCSwavDataset", img_sz=(48, 48),
-                        size_crops=(48, 24), nmb_crops=(2, 3),
+        data=DataConfig(data_name="SevenPCSwavDataset", img_sz=(32, 32),
+                        size_crops=(32, 16), nmb_crops=(2, 2),
                         min_scale_crops=(0.5, 0.14),
                         max_scale_crops=(1.0, 0.5)),
         model=ModelConfig(arch="resnet18", arch_version="v32", proj_dim=16,
@@ -140,14 +142,14 @@ def test_ssl_multicrop_rejects_bad_recipe(tmp_path):
     )
     with pytest.raises(ValueError, match="must start with 2"):
         SSLTrainer(SSLConfig(
-            data=DataConfig(data_name="SevenPCSwavDataset", img_sz=(48, 48),
-                            size_crops=(48, 24), nmb_crops=(3, 3),
+            data=DataConfig(data_name="SevenPCSwavDataset", img_sz=(32, 32),
+                            size_crops=(32, 16), nmb_crops=(3, 3),
                             min_scale_crops=(0.5, 0.14),
                             max_scale_crops=(1.0, 0.5)), **base))
     with pytest.raises(ValueError, match="equal lengths"):
         SSLTrainer(SSLConfig(
-            data=DataConfig(data_name="SevenPCSwavDataset", img_sz=(48, 48),
-                            size_crops=(48, 24, 12), nmb_crops=(2, 3),
+            data=DataConfig(data_name="SevenPCSwavDataset", img_sz=(32, 32),
+                            size_crops=(32, 16, 8), nmb_crops=(2, 3),
                             min_scale_crops=(0.5, 0.14),
                             max_scale_crops=(1.0, 0.5)), **base))
 
