@@ -17,6 +17,25 @@ from sm3x.data.datasets import build_dataset
 from sm3x.utils import increment_path, save_args, setup_logger, fix_random_seeds
 
 
+def _apply_platform_env():
+    """SM3X_PLATFORM=cpu|tpu forces the jax backend in-process. On this
+    class of host a sitecustomize pins the TPU platform before user code
+    runs, so JAX_PLATFORMS in a subprocess environment is consumed too
+    late — an in-process `jax.config.update` before first device use is
+    the only channel that sticks. cpu implies a virtual multi-device
+    host platform (SM3X_CPU_DEVICES, default 8 — the same mesh the test
+    suite uses)."""
+    plat = os.environ.get("SM3X_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+        if plat == "cpu":
+            jax.config.update(
+                "jax_num_cpu_devices",
+                int(os.environ.get("SM3X_CPU_DEVICES", "8")))
+
+
 def _capture_errors(log_path: str, fn):
     try:
         return fn()
@@ -42,6 +61,7 @@ def _setup(args, cfg, logger_name: str):
 # ---------------------------------------------------------------------------
 
 def backbone_train_main():
+    _apply_platform_env()
     parser = get_parser("sm3x SimCLR skin SSL training")
     parser.add_argument("--arch-version", type=str, default="v3")
     parser.add_argument("--arch-weights", type=str, default=None)
@@ -123,6 +143,7 @@ def load_extractor_tree(path: str, arch: str):
 
 
 def mlc_train_main():
+    _apply_platform_env()
     parser = get_parser("sm3x DeepCluster MLC training")
     parser.add_argument("--num-labels", type=int, default=8)
     parser.add_argument("--extractor-proj-dim", type=int, default=128)
@@ -173,6 +194,7 @@ def load_pretrained_tree(path: str, arch: str, variant: str):
 
 
 def mlc_eval_main():
+    _apply_platform_env()
     parser = get_parser("sm3x MLC supervised finetune/eval")
     parser.add_argument("--mlc-proj", type=str, default="v4")
     parser.add_argument("--mlc-proj-dim", type=int, default=256)
@@ -227,6 +249,7 @@ load_encoder_tree = load_extractor_tree
 
 
 def backbone_eval_main():
+    _apply_platform_env()
     parser = get_parser("sm3x backbone linear eval")
     parser.add_argument("--num-labels", type=int, default=8)
     parser.add_argument("--label-weights", nargs="*", type=float, default=[1.0] * 8)

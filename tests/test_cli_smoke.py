@@ -14,8 +14,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_tool(script, args, cwd):
     env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    # SM3X_PLATFORM is applied in-process by the CLI mains; the plain
+    # JAX_PLATFORMS env var is consumed before user code on this host
+    # (sitecustomize pins the TPU), so these subprocesses used to land
+    # on the real chip — slow cold compiles and tunnel-variance flakes.
+    env["SM3X_PLATFORM"] = "cpu"
+    env["SM3X_CPU_DEVICES"] = "8"
     cmd = [sys.executable, os.path.join(REPO, "tools", script)] + args
     res = subprocess.run(cmd, cwd=cwd, env=env, capture_output=True,
                          text=True, timeout=900)

@@ -144,17 +144,18 @@ def test_released_pth_to_csv_lock(tmp_path):
     write_results_csv(expected_csv, preds, targets)
 
     out_csv = str(tmp_path / "ours.csv")
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    # --platform cpu: JAX_PLATFORMS in the env does not survive this
+    # host's sitecustomize (the subprocess would land on the real TPU and
+    # a cold compile can blow any reasonable timeout — this test timed
+    # out at 900s that way); the in-process flag is the robust channel.
     res = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "reproduce_results.py"),
          "--pretrain-path", pth, "--data-path", root, "--out", out_csv,
          "--compare", expected_csv, "--tolerance", "0.2",
          "-a", "resnet18", "--mlc-proj-dim", "32", "--sa-dim-ff", "16",
          "-b", "8", "--test-sz", str(test_sz), "--cache-size", "64",
-         "--fp32"],
-        env=env, capture_output=True, text=True, timeout=900)
+         "--fp32", "--platform", "cpu"],
+        capture_output=True, text=True, timeout=1800)
     assert res.returncode == 0, (
         f"reproduce_results lock failed:\nSTDOUT:\n{res.stdout[-4000:]}\n"
         f"STDERR:\n{res.stderr[-2000:]}")

@@ -25,9 +25,18 @@ import numpy as np
 def evaluate(pretrain_path, data_path, arch="resnet50", mlc_proj_dim=512,
              sa_dim_ff=128, batch_size=64, cache_size=320, test_sz=224,
              mean=(0.7833, 0.6712, 0.6026), std=(0.2139, 0.2472, 0.2571),
-             fp32=False):
+             fp32=False, platform=None):
     import jax
     import jax.numpy as jnp
+
+    if platform:
+        # env vars are too late in this environment (sitecustomize pins
+        # the TPU platform before user code runs); the in-process config
+        # update is the only channel that sticks. CPU gets the same
+        # 8-virtual-device mesh the test suite uses.
+        jax.config.update("jax_platforms", platform)
+        if platform == "cpu":
+            jax.config.update("jax_num_cpu_devices", 8)
 
     from sm3x.core.cache import enable_compilation_cache
     from sm3x.core.mesh import make_mesh, shard_batch
@@ -114,6 +123,10 @@ def main():
     p.add_argument("--fp32", action="store_true",
                    help="fp32 compute instead of bf16 (tight numeric "
                    "parity against torch-computed expectations)")
+    p.add_argument("--platform", default=None, choices=("cpu", "tpu"),
+                   help="force a jax backend in-process (JAX_PLATFORMS in "
+                   "the environment does not survive this host's "
+                   "sitecustomize); cpu implies an 8-virtual-device mesh")
     p.add_argument("--mean", nargs=3, type=float,
                    default=[0.7833, 0.6712, 0.6026])
     p.add_argument("--std", nargs=3, type=float,
@@ -126,7 +139,7 @@ def main():
         args.pretrain_path, args.data_path, args.arch, args.mlc_proj_dim,
         args.sa_dim_ff, args.batch_size, cache_size=args.cache_size,
         test_sz=args.test_sz, mean=tuple(args.mean), std=tuple(args.std),
-        fp32=args.fp32)
+        fp32=args.fp32, platform=args.platform)
     write_results_csv(args.out, preds, targets)
     print(f"wrote {args.out}")
 
