@@ -44,32 +44,33 @@ def main():
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         (batch, 224, 224, 3)), jnp.bfloat16)
 
-    def timed(fn, tag):
-        # scan over iters inside one jit; carry a scalar so nothing hoists
+    def timed(fn, tree, tag):
+        # scan over iters inside one jit; carry a scalar so nothing
+        # hoists. The variable tree is an ARGUMENT (closing over device
+        # arrays embeds them as mlir constants -> device reads at trace
+        # time, which the tunnel refuses).
         @jax.jit
-        def loop(x):
+        def loop(tree, x):
             def body(c, _):
-                out = fn(x + c.astype(jnp.bfloat16) * 0)
+                out = fn(tree, x + c.astype(jnp.bfloat16) * 0)
                 return c + out.mean().astype(jnp.float32), None
             c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
             return c
-        float(loop(x))  # compile + warm
+        float(loop(tree, x))  # compile + warm
         t0 = time.perf_counter()
-        v = float(loop(x))
+        v = float(loop(tree, x))
         dt = (time.perf_counter() - t0) / iters
         print(f"{tag}: {batch / dt:,.0f} img/s  ({dt * 1e3:.1f} ms)  [{v:.3f}]")
         return batch / dt
 
     model = build_resnet("resnet50", dtype=jnp.bfloat16)
-    v = model.init(jax.random.PRNGKey(0), x[:2], True)
-    params, stats = v["params"], v["batch_stats"]
+    v0 = model.init(jax.random.PRNGKey(0), x[:2], True)
 
-    def fwd_std(xx):
-        out, _ = model.apply({"params": params, "batch_stats": stats}, xx,
-                             True, mutable=["batch_stats"])
+    def fwd_std(tree, xx):
+        out, _ = model.apply(tree, xx, True, mutable=["batch_stats"])
         return out
 
-    base = timed(fwd_std, f"train-BN fwd, standard stats      (b={batch})")
+    base = timed(fwd_std, v0, f"train-BN fwd, standard stats      (b={batch})")
 
     sub = int(os.environ.get("SM3X_BN_STAT_SUBSAMPLE", str(k)))
     os.environ["SM3X_BN_STAT_SUBSAMPLE"] = str(sub)
@@ -163,13 +164,14 @@ def main():
                 net = Net(k=sub)
                 vs = net.init(jax.random.PRNGKey(0), x[:2])
 
-                def fwd(xx):
-                    return net.apply(vs, xx)
+                def fwd(tree, xx):
+                    return net.apply(tree, xx)
 
-                return fwd
+                return fwd, vs
 
-            fwd_sub = make_fwd_sub()
-            r = timed(fwd_sub, f"train-BN fwd, stats from B/{sub} slice")
+            fwd_sub, vs_sub = make_fwd_sub()
+            r = timed(fwd_sub, vs_sub,
+                      f"train-BN fwd, stats from B/{sub} slice")
             print(f"speedup: {r / base:.3f}x")
     finally:
         pass
