@@ -96,3 +96,60 @@ def shard_label_heads(mesh: Mesh, tree, num_labels: int = 8):
     """Place a params/batch_stats pytree per `label_head_shardings`."""
     return jax.tree.map(jax.device_put, tree,
                         label_head_shardings(mesh, tree, num_labels))
+
+
+def vit_tp_shardings(mesh: Mesh, tree):
+    """Megatron-style tensor-parallel spec for ViT encoder params
+    (--mesh-model > 1 with a vit_* backbone — the BASELINE.json
+    "large-batch contrastive on v5e-16" stretch scaling axis).
+
+    Within every transformer block (`block<i>` path component):
+      * attention q/k/v kernels (D, H, hd) and biases (H, hd) shard the
+        heads dim over "model" (column-parallel),
+      * the attention out kernel (H, hd, D) shards its heads dim
+        (row-parallel — GSPMD inserts the psum of partial outputs),
+      * MLP fc1 (D, hidden)/bias shard the hidden dim (column-parallel),
+        fc2 (hidden, D) shards hidden (row-parallel, replicated bias).
+    Everything else (patch embed, LN, cls/pos, projectors outside the
+    encoder blocks) replicates, so the attention softmax and residual
+    stream stay local to each shard; the only collectives per block are
+    the two row-parallel psums, exactly the Megatron-LM communication
+    pattern expressed as shardings instead of explicit NCCL calls.
+
+    Axes that do not divide the "model" size fall back to replicated
+    (e.g. vit_t16's 3 heads on model=2 keep replicated attention while
+    its MLP still shards)."""
+    rep = replicated_sharding(mesh)
+    m = int(mesh.shape[MODEL_AXIS])
+
+    def walk(t, path=()):
+        if isinstance(t, dict):
+            return {k: walk(v, path + (k,)) for k, v in t.items()}
+        if m <= 1:
+            return rep
+        in_block = any(p.startswith("block") and p[5:].isdigit()
+                       for p in path)
+        if not in_block or len(path) < 2:
+            return rep
+        leaf, parent = path[-1], path[-2]
+        shape = getattr(t, "shape", ())
+        grand = path[-3] if len(path) >= 3 else ""
+        if grand == "attn" and parent in ("query", "key", "value"):
+            if leaf == "kernel" and len(shape) == 3 and shape[1] % m == 0:
+                return NamedSharding(mesh, P(None, MODEL_AXIS, None))
+            if leaf == "bias" and len(shape) == 2 and shape[0] % m == 0:
+                return NamedSharding(mesh, P(MODEL_AXIS, None))
+        elif grand == "attn" and parent == "out":
+            if leaf == "kernel" and len(shape) == 3 and shape[0] % m == 0:
+                return NamedSharding(mesh, P(MODEL_AXIS, None, None))
+        elif parent == "fc1":
+            if leaf == "kernel" and len(shape) == 2 and shape[1] % m == 0:
+                return NamedSharding(mesh, P(None, MODEL_AXIS))
+            if leaf == "bias" and len(shape) == 1 and shape[0] % m == 0:
+                return NamedSharding(mesh, P(MODEL_AXIS))
+        elif parent == "fc2":
+            if leaf == "kernel" and len(shape) == 2 and shape[0] % m == 0:
+                return NamedSharding(mesh, P(MODEL_AXIS, None))
+        return rep
+
+    return walk(tree)

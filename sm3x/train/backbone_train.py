@@ -319,6 +319,16 @@ class SSLTrainer(common.CheckpointableTrainer):
                 multicrop=multicrop)
         self.start_epoch = 0
 
+    def _place_state(self):
+        """SSL placement: ViT backbones get Megatron-style TP over the
+        "model" mesh axis (the large-batch stretch scaling axis); ResNet
+        backbones (and model=1 meshes) replicate as before."""
+        if (int(self.mesh.shape["model"]) > 1
+                and str(self.cfg.model.arch).startswith("vit")):
+            self._vit_tp_state()
+        else:
+            super()._place_state()
+
     def train_epoch(self, data, epoch: int) -> dict:
         cfg = self.cfg
         losses = AverageMeter("Loss", ":.4f")

@@ -232,28 +232,20 @@ class CheckpointableTrainer:
                          f"(epoch {self.start_epoch})")
         return True
 
-    def _maybe_tp_state(self, num_labels: int):
-        """Tensor-parallel state placement for models carrying the stacked
-        (num_labels, ...) MultiLabelProjector (--mesh-model > 1): those
-        weights AND their optimizer moments shard the heads dim over the
-        "model" mesh axis; everything else replicates. No-op placement-wise
-        on a model=1 mesh."""
-        from sm3x.core.mesh import (label_head_shardings,
-                                    replicated_sharding, shard_label_heads)
+    def _place_opt_moments(self, spec):
+        """Place the optimizer state to mirror a param sharding spec.
 
-        spec = label_head_shardings(self.mesh, self.state.params, num_labels)
-        params = jax.tree.map(jax.device_put, self.state.params, spec)
-        batch_stats = shard_label_heads(self.mesh, self.state.batch_stats,
-                                        num_labels)
-        rep = replicated_sharding(self.mesh)
-        # AdamW moments mirror the param tree INSIDE the typed optimizer
-        # state (mu/nu subtrees, possibly holding MaskedNode placeholders
-        # under multi_transform). A moment leaf's key path therefore ends
-        # with its own param's exact key path — match on that suffix (plus
-        # shape, for safety), NOT on bare shape equality, so a replicated
-        # param whose shape coincides with a TP projector weight keeps
-        # replicated moments (ADVICE round 1).
+        AdamW moments mirror the param tree INSIDE the typed optimizer
+        state (mu/nu subtrees, possibly holding MaskedNode placeholders
+        under multi_transform). A moment leaf's key path therefore ends
+        with its own param's exact key path — match on that suffix (plus
+        shape, for safety), NOT on bare shape equality, so a replicated
+        param whose shape coincides with a TP weight keeps replicated
+        moments (ADVICE round 1)."""
+        from sm3x.core.mesh import replicated_sharding
         from jax.tree_util import tree_flatten_with_path, tree_unflatten
+
+        rep = replicated_sharding(self.mesh)
 
         def keynames(path):
             return tuple(
@@ -278,7 +270,36 @@ class CheckpointableTrainer:
                     sharding = s
                     break
             placed.append(jax.device_put(x, sharding))
-        opt_state = tree_unflatten(treedef, placed)
+        return tree_unflatten(treedef, placed)
+
+    def _maybe_tp_state(self, num_labels: int):
+        """Tensor-parallel state placement for models carrying the stacked
+        (num_labels, ...) MultiLabelProjector (--mesh-model > 1): those
+        weights AND their optimizer moments shard the heads dim over the
+        "model" mesh axis; everything else replicates. No-op placement-wise
+        on a model=1 mesh."""
+        from sm3x.core.mesh import label_head_shardings, shard_label_heads
+
+        spec = label_head_shardings(self.mesh, self.state.params, num_labels)
+        params = jax.tree.map(jax.device_put, self.state.params, spec)
+        batch_stats = shard_label_heads(self.mesh, self.state.batch_stats,
+                                        num_labels)
+        opt_state = self._place_opt_moments(spec)
+        self.state = self.state.replace(
+            params=params, batch_stats=batch_stats, opt_state=opt_state)
+
+    def _vit_tp_state(self):
+        """Megatron-style TP placement for ViT backbones (--mesh-model > 1
+        with a vit_* arch): block attention/MLP weights and their moments
+        shard over the "model" axis per sm3x.core.mesh.vit_tp_shardings;
+        batch statistics (projector BN only — ViT itself has none)
+        replicate."""
+        from sm3x.core.mesh import replicate, vit_tp_shardings
+
+        spec = vit_tp_shardings(self.mesh, self.state.params)
+        params = jax.tree.map(jax.device_put, self.state.params, spec)
+        batch_stats = replicate(self.mesh, self.state.batch_stats)
+        opt_state = self._place_opt_moments(spec)
         self.state = self.state.replace(
             params=params, batch_stats=batch_stats, opt_state=opt_state)
 
