@@ -246,8 +246,13 @@ def main():
     import argparse
 
     p = argparse.ArgumentParser("sm3x HTTP inference server")
-    p.add_argument("--pretrain-path", type=str, required=True,
-                   help="best_linear/best_finetune .pth or sm3x msgpack")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--pretrain-path", type=str,
+                     help="best_linear/best_finetune .pth or sm3x msgpack")
+    src.add_argument("--exported-path", type=str,
+                     help="AOT artifact directory from "
+                          "sm3x.export.export_predictor (serves without "
+                          "model code or checkpoint)")
     p.add_argument("-a", "--arch", type=str, default="resnet50")
     p.add_argument("--host", type=str, default="127.0.0.1",
                    help="bind address (loopback by default for the sidecar "
@@ -269,11 +274,17 @@ def main():
                    help="dispatch each request alone (lock-serialized)")
     args = p.parse_args()
 
-    from sm3x.serve import Predictor
+    if args.exported_path:
+        from sm3x.export import ExportedPredictor
 
-    predictor = Predictor.from_checkpoint(
-        args.pretrain_path, arch=args.arch, mean=args.mean, std=args.std,
-        test_sz=args.test_sz, buckets=tuple(args.buckets))
+        predictor = ExportedPredictor(args.exported_path)
+        args.buckets = predictor.buckets
+    else:
+        from sm3x.serve import Predictor
+
+        predictor = Predictor.from_checkpoint(
+            args.pretrain_path, arch=args.arch, mean=args.mean, std=args.std,
+            test_sz=args.test_sz, buckets=tuple(args.buckets))
     # warm EVERY bucket: dynamic batching coalesces bursts into the larger
     # buckets, so each one must be compiled before traffic arrives
     for b in sorted(set(args.buckets)):
