@@ -227,8 +227,46 @@ def save_torch_checkpoint(path: str, sd: StateDict, epoch: int = 0,
     torch.save({"epoch": epoch, "state_dict": tensors}, path)
 
 
+def main():
+    """CLI: sm3x msgpack checkpoint -> reference-convention .pth
+    (sm3x-export-torch; tools/export_torch_ckpt.py is the repo shim)."""
+    import argparse
+    import os
+
+    p = argparse.ArgumentParser("sm3x -> torch checkpoint exporter")
+    p.add_argument("--ckpt", type=str, required=True,
+                   help="sm3x msgpack checkpoint (trainer ckp_*.msgpack / "
+                        "best_eval.msgpack)")
+    p.add_argument("--kind", choices=("ssl", "mlc"), required=True,
+                   help="ssl = stage-1 layout (loadable by reference "
+                        "mlc_train/load_ssl_pretrain); mlc = released "
+                        "best_linear/best_finetune layout (strict-loadable "
+                        "by reference inference.py:122-127)")
+    p.add_argument("--out", type=str, required=True, help=".pth output path")
+    p.add_argument("-a", "--arch", type=str, default="resnet50")
+    p.add_argument("--mlc-proj", type=str, default="v4",
+                   help="projector variant of the MLC head (v1-v4)")
+    p.add_argument("--ddp-prefix", action="store_true",
+                   help="prefix every key with `module.` (DDP-style)")
+    args = p.parse_args()
+
+    from sm3x.utils.checkpoint import load_checkpoint
+
+    tree = load_checkpoint(args.ckpt)
+    params, stats = tree["params"], tree["batch_stats"]
+    epoch = int(tree.get("epoch", 0))
+    if args.kind == "ssl":
+        sd = export_simclr_skin(params, stats, args.arch)
+    else:
+        sd = export_mlc_model(params, stats, args.arch, args.mlc_proj)
+    save_torch_checkpoint(args.out, sd, epoch=epoch, ddp_prefix=args.ddp_prefix)
+    print(f"wrote {len(sd)} tensors (epoch {epoch}) -> {args.out} "
+          f"({os.path.getsize(args.out) / 1e6:.1f} MB)")
+
+
 __all__ = [
     "export_resnet", "export_ssl_projector", "export_simclr_skin",
     "export_multilabel_projector", "export_transformer_layer",
     "export_prototypes", "export_mlc_model", "save_torch_checkpoint",
+    "main",
 ]
