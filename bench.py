@@ -51,6 +51,7 @@ def main():
         data=DataConfig(img_sz=(224, 224), cache_size=320),
         model=ModelConfig(arch=arch, arch_version="v32", proj_dim=128,
                           temperature=0.1,
+                          use_checkpoint="remat" in extra,
                           use_pallas_augment="no_pallas_aug" not in extra,
                           use_pallas_ntxent="pallas_ntxent" in extra),
         optim=OptimConfig(epochs=1, batch_size=batch, base_lr=1e-6, amp=True),
