@@ -43,3 +43,9 @@ def test_serve_suite_isolated():
 
 def test_export_suite_isolated():
     _run_isolated("test_export.py")
+
+
+def test_multicrop_suite_isolated():
+    # not a serving test — isolated because it is the heaviest in-process
+    # program and pays a 10x rendezvous stall in a shared client
+    _run_isolated("test_multicrop.py")
