@@ -1,0 +1,129 @@
+"""Async host->device batch prefetch.
+
+The HBM-resident path (sm3x.data.device_data.DeviceData) removes the
+per-step upload entirely, but only fits datasets a fraction of HBM in
+size. For anything larger (ISIC-scale, or big canvases), the fallback
+was a synchronous `shard_batch` upload on the step's critical path.
+
+`PrefetchData` wraps any host dataset (PairedImageData-shaped: `batches`,
+`steps_per_epoch`, `epoch_order`, `labels`) and overlaps the upload with
+device compute the TPU-native way: a background thread slices the next
+host batches and enqueues `jax.device_put` transfers (async under JAX's
+dispatch model) a bounded `depth` ahead, so the H2D of batch k+1 rides
+under the device step of batch k. The reference gets the same overlap
+from DataLoader worker processes + CUDA pinned-memory copies
+(reference src/utils/misc.py:450-458); here one thread suffices because
+the host work is a numpy gather — decode happened once at dataset build
+(sm3x.data.pipeline.ImageStore).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from sm3x.core.mesh import data_sharding
+from sm3x.data.pipeline import Batch
+
+
+class PrefetchData:
+    """Device-prefetching view over a host dataset.
+
+    `batches` yields Batch objects whose derm/clinic canvas+hw fields are
+    already device arrays sharded over the mesh "data" axis, transferred
+    up to `depth` batches ahead of consumption. Labels/index/mask/meta
+    stay host-side (they feed host logic or are tiny).
+    """
+
+    def __init__(self, data, mesh, depth: int = 2):
+        if depth < 1:
+            raise ValueError(f"prefetch depth must be >= 1, got {depth}")
+        self._host = data
+        self.mesh = mesh
+        self.depth = depth
+        self.n = data.n
+        self.labels = data.labels
+        self.meta_codes = getattr(data, "meta_codes", None)
+        self.meta_vocab_sizes = getattr(data, "meta_vocab_sizes", None)
+
+    def steps_per_epoch(self, batch_size: int) -> int:
+        return self._host.steps_per_epoch(batch_size)
+
+    def epoch_order(self, epoch: int, seed: int = 3407, shuffle: bool = True):
+        return self._host.epoch_order(epoch, seed, shuffle)
+
+    def batches(self, batch_size: int, epoch: int = 0, seed: int = 3407,
+                shuffle: bool = True, pad: str = "wrap") -> Iterator[Batch]:
+        sharding = data_sharding(self.mesh)
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        _END = object()
+
+        def put(batch: Batch) -> Batch:
+            dev = jax.device_put(
+                (batch.derm, batch.derm_hw, batch.clinic, batch.clinic_hw),
+                sharding)
+            return dataclasses.replace(
+                batch, derm=dev[0], derm_hw=dev[1],
+                clinic=dev[2], clinic_hw=dev[3])
+
+        def producer():
+            try:
+                for b in self._host.batches(batch_size, epoch, seed,
+                                            shuffle, pad):
+                    # device_put here (producer thread) starts the H2D
+                    # transfer `depth` batches ahead of the consumer
+                    q.put(put(b))
+            except BaseException as e:  # surface in the consumer
+                q.put(e)
+                return
+            q.put(_END)
+
+        t = threading.Thread(target=producer, daemon=True,
+                             name="sm3x-prefetch")
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # unblock the producer if the consumer stops early
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    pass
+            t.join(timeout=5)
+
+
+def wrap_for_device(data, mesh, hbm_budget_bytes: int | None = None,
+                    depth: int = 2):
+    """Pick the device-feeding strategy for a host PairedImageData:
+    HBM-resident (DeviceData) when the canvas cache fits the budget,
+    otherwise async prefetch (PrefetchData). Non-PairedImageData inputs
+    (already-wrapped or synthetic) pass through unchanged."""
+    from sm3x.data.device_data import DeviceData
+    from sm3x.data.pipeline import PairedImageData
+
+    if not isinstance(data, PairedImageData):
+        return data
+    if hbm_budget_bytes is None:
+        # default: stay well clear of live activations — canvases may use
+        # at most ~1/4 of one chip's HBM (v5e: 16 GB)
+        hbm_budget_bytes = 4 << 30
+    cache_bytes = data.derm.canvases.nbytes + data.clinic.canvases.nbytes
+    if cache_bytes <= hbm_budget_bytes:
+        try:
+            return DeviceData(data, mesh)
+        except Exception:
+            pass
+    return PrefetchData(data, mesh, depth=depth)

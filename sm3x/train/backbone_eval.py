@@ -26,22 +26,9 @@ from sm3x.train.supervised import (
 from sm3x.utils.logging import StatWriter
 from sm3x.utils import setup_logger, save_checkpoint
 from sm3x.metrics import write_results_csv
+from sm3x.data.prefetch import wrap_for_device
 
 
-
-
-def _device_wrap(data, mesh):
-    """HBM-resident dataset when it's a host PairedImageData (removes the
-    per-step host->device canvas upload; sm3x.data.device_data)."""
-    from sm3x.data.pipeline import PairedImageData
-    from sm3x.data.device_data import DeviceData
-
-    if isinstance(data, PairedImageData):
-        try:
-            return DeviceData(data, mesh)
-        except Exception:
-            return data
-    return data
 
 
 class BackboneEvalTrainer(common.CheckpointableTrainer):
@@ -117,8 +104,8 @@ class BackboneEvalTrainer(common.CheckpointableTrainer):
     def fit(self, train_data, val_data):
         cfg = self.cfg
         self.warn_unconsumed_lr_schedule()
-        train_data = _device_wrap(train_data, self.mesh)
-        val_data = _device_wrap(val_data, self.mesh)
+        train_data = wrap_for_device(train_data, self.mesh)
+        val_data = wrap_for_device(val_data, self.mesh)
         best_auc = self.best_auc
         for epoch in range(self.start_epoch, cfg.optim.epochs):
             t0 = time.time()

@@ -191,20 +191,6 @@ def _arch_weights_help(value: str, arch: str) -> str:
         f"converts it on load (sm3x.utils.torch_convert.convert_resnet).")
 
 
-def _device_wrap(data, mesh):
-    """HBM-resident dataset when it's a host PairedImageData (removes the
-    per-step host->device canvas upload; sm3x.data.device_data)."""
-    from sm3x.data.pipeline import PairedImageData
-    from sm3x.data.device_data import DeviceData
-
-    if isinstance(data, PairedImageData):
-        try:
-            return DeviceData(data, mesh)
-        except Exception:
-            return data
-    return data
-
-
 class SSLTrainer(common.CheckpointableTrainer):
     """Owns mesh/model/state and the epoch loop (reference main,
     backbone_train.py:429-608)."""
@@ -409,7 +395,11 @@ class SSLTrainer(common.CheckpointableTrainer):
         cfg = self.cfg
         import os
 
-        data = _device_wrap(data, self.mesh)
+        from sm3x.data.prefetch import wrap_for_device
+
+        # HBM-resident canvases when they fit, async host->device
+        # prefetch otherwise (sm3x.data.prefetch)
+        data = wrap_for_device(data, self.mesh)
         if cfg.optim.use_lr_schedule:
             self._apply_lr_schedule(data.steps_per_epoch(cfg.optim.batch_size))
         for epoch in range(self.start_epoch, cfg.optim.epochs):

@@ -27,22 +27,9 @@ from sm3x.utils import (
     BestRecorder, setup_logger, save_checkpoint, create_eval_stat,
 )
 from sm3x.metrics import write_results_csv
+from sm3x.data.prefetch import wrap_for_device
 
 
-
-
-def _device_wrap(data, mesh):
-    """HBM-resident dataset when it's a host PairedImageData (removes the
-    per-step host->device canvas upload; sm3x.data.device_data)."""
-    from sm3x.data.pipeline import PairedImageData
-    from sm3x.data.device_data import DeviceData
-
-    if isinstance(data, PairedImageData):
-        try:
-            return DeviceData(data, mesh)
-        except Exception:
-            return data
-    return data
 
 
 class MLCEvalTrainer(common.CheckpointableTrainer):
@@ -136,8 +123,8 @@ class MLCEvalTrainer(common.CheckpointableTrainer):
     def fit(self, train_data, val_data):
         cfg = self.cfg
         self.warn_unconsumed_lr_schedule()
-        train_data = _device_wrap(train_data, self.mesh)
-        val_data = _device_wrap(val_data, self.mesh)
+        train_data = wrap_for_device(train_data, self.mesh)
+        val_data = wrap_for_device(val_data, self.mesh)
         summary = {}
         for prefix in ("train", "val"):
             summary.update(create_eval_stat(prefix, METRICS_NAME, CLASSES_NAME, "max"))

@@ -31,6 +31,7 @@ from sm3x.models.mlc import MLCModel
 from sm3x.ops.augment import MLC_TRAIN_AUG, ssl_augment_batch
 from sm3x.ops.kmeans import spherical_kmeans
 from sm3x.train import common
+from sm3x.data.prefetch import wrap_for_device
 from sm3x.utils.logging import StatWriter
 from sm3x.utils import (AverageMeter, ProgressMeter, setup_logger,
                         save_checkpoint)
@@ -108,20 +109,6 @@ def cluster_and_update(rng, bank, params, num_classes=tuple(NUM_CLASSES),
     return params, jnp.stack(assignments)
 
 
-
-
-def _device_wrap(data, mesh):
-    """HBM-resident dataset when it's a host PairedImageData (removes the
-    per-step host->device canvas upload; sm3x.data.device_data)."""
-    from sm3x.data.pipeline import PairedImageData
-    from sm3x.data.device_data import DeviceData
-
-    if isinstance(data, PairedImageData):
-        try:
-            return DeviceData(data, mesh)
-        except Exception:
-            return data
-    return data
 
 
 class MLCTrainer(common.CheckpointableTrainer):
@@ -264,7 +251,7 @@ class MLCTrainer(common.CheckpointableTrainer):
 
         cfg = self.cfg
         self.warn_unconsumed_lr_schedule()
-        data = _device_wrap(data, self.mesh)
+        data = wrap_for_device(data, self.mesh)
         if self.bank is None:
             self.init_memory(data)
         for epoch in range(self.start_epoch, cfg.optim.epochs):

@@ -1,0 +1,99 @@
+"""Async host->device prefetch (sm3x.data.prefetch): batch equivalence
+with the host path, device placement/sharding, strategy selection, and
+clean early-stop/error propagation."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from sm3x.core.mesh import make_mesh
+from sm3x.data.datasets import build_dataset
+from sm3x.data.device_data import DeviceData
+from sm3x.data.prefetch import PrefetchData, wrap_for_device
+from sm3x.data.synthetic import make_fake_derm7pt
+
+
+@pytest.fixture(scope="module")
+def host_data(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("prefetch7pc"))
+    make_fake_derm7pt(root, n_cases=10, img_size=56)
+    return build_dataset("SevenPCBaseDataset", root, "train", cache_size=64)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh()
+
+
+def test_prefetch_matches_host_batches(host_data, mesh):
+    pre = PrefetchData(host_data, mesh, depth=2)
+    assert pre.steps_per_epoch(8) == host_data.steps_per_epoch(8)
+    for epoch in (0, 1):
+        got = list(pre.batches(8, epoch=epoch))
+        want = list(host_data.batches(8, epoch=epoch))
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert isinstance(g.derm, jax.Array)
+            np.testing.assert_array_equal(np.asarray(g.derm), w.derm)
+            np.testing.assert_array_equal(np.asarray(g.derm_hw), w.derm_hw)
+            np.testing.assert_array_equal(np.asarray(g.clinic), w.clinic)
+            np.testing.assert_array_equal(np.asarray(g.clinic_hw),
+                                          w.clinic_hw)
+            # host-side fields untouched
+            np.testing.assert_array_equal(g.label, w.label)
+            np.testing.assert_array_equal(g.index, w.index)
+            np.testing.assert_array_equal(g.mask, w.mask)
+
+
+def test_prefetch_batches_are_data_sharded(host_data, mesh):
+    pre = PrefetchData(host_data, mesh, depth=1)
+    b = next(iter(pre.batches(8, epoch=0)))
+    spec = b.derm.sharding.spec
+    assert spec[0] == "data", spec
+    # consumed only one batch of several: the generator must not hang
+    # (early-stop drains the producer)
+
+
+def test_prefetch_early_stop_does_not_hang(host_data, mesh):
+    pre = PrefetchData(host_data, mesh, depth=1)
+    it = pre.batches(8, epoch=0)
+    next(it)
+    it.close()  # GeneratorExit inside the consumer loop
+
+
+def test_prefetch_propagates_producer_errors(host_data, mesh):
+    class Boom(Exception):
+        pass
+
+    class BadData:
+        n = host_data.n
+        labels = host_data.labels
+
+        def steps_per_epoch(self, bs):
+            return 1
+
+        def epoch_order(self, *a, **k):
+            return np.arange(self.n)
+
+        def batches(self, *a, **k):
+            raise Boom("producer failed")
+            yield  # pragma: no cover
+
+    with pytest.raises(Boom):
+        list(PrefetchData(BadData(), mesh).batches(2))
+
+
+def test_prefetch_rejects_bad_depth(host_data, mesh):
+    with pytest.raises(ValueError, match="depth"):
+        PrefetchData(host_data, mesh, depth=0)
+
+
+def test_wrap_for_device_picks_resident_then_prefetch(host_data, mesh):
+    assert isinstance(wrap_for_device(host_data, mesh), DeviceData)
+    small_budget = host_data.derm.canvases.nbytes  # < derm+clinic
+    wrapped = wrap_for_device(host_data, mesh,
+                              hbm_budget_bytes=small_budget)
+    assert isinstance(wrapped, PrefetchData)
+    # passthrough for non-PairedImageData inputs
+    assert wrap_for_device(wrapped, mesh) is wrapped
