@@ -27,6 +27,16 @@ def get_parser(desc: str = "sm3x training") -> argparse.ArgumentParser:
     p.add_argument("--std", nargs=3, type=float, default=[0.229, 0.224, 0.225])
     p.add_argument("--cache-size", type=int, default=320,
                    help="host decode canvas (TPU pipeline)")
+    p.add_argument("--device-feed", type=str, default="auto",
+                   choices=["auto", "resident", "prefetch", "host"],
+                   help="device-feeding strategy: HBM-resident canvases, "
+                   "async host->device prefetch, blocking per-step upload, "
+                   "or auto (resident when it fits --hbm-data-budget-mb)")
+    p.add_argument("--hbm-data-budget-mb", type=int, default=4096,
+                   help="HBM the canvas cache may occupy before auto "
+                   "feeding falls back to async prefetch")
+    p.add_argument("--prefetch-depth", type=int, default=2,
+                   help="batches transferred ahead by the prefetch feed")
     # multi-crop recipe, consumed with --data-name SevenPCSwavDataset
     # (group 0 = the two global views; further groups are local crops)
     p.add_argument("--size-crops", nargs="*", type=int, default=[224, 96])
@@ -112,6 +122,9 @@ def base_configs(args) -> tuple:
         img_sz=tuple(args.img_sz), n_classes=args.n_classes,
         mean=tuple(args.mean), std=tuple(args.std),
         cache_size=args.cache_size,
+        device_feed=getattr(args, "device_feed", "auto"),
+        hbm_data_budget_mb=getattr(args, "hbm_data_budget_mb", 4096),
+        prefetch_depth=getattr(args, "prefetch_depth", 2),
         size_crops=tuple(getattr(args, "size_crops", (224, 96))),
         nmb_crops=tuple(getattr(args, "nmb_crops", (2, 6))),
         min_scale_crops=tuple(getattr(args, "min_scale_crops", (0.5, 0.14))),

@@ -25,6 +25,14 @@ class DataConfig:
     # on device. `cache_size` is the square canvas the host decodes into.
     cache_images: bool = True
     cache_size: int = 320
+    # device-feeding strategy (sm3x.data.prefetch.wrap_for_device):
+    # auto = HBM-resident when the canvas cache fits the budget, else
+    # async prefetch; resident/prefetch/host force one strategy (host =
+    # blocking per-step upload). The reference's analogue knob is the
+    # DataLoader worker count (misc.py:450-458).
+    device_feed: str = "auto"
+    hbm_data_budget_mb: int = 4096
+    prefetch_depth: int = 2
     # black-border crop (datasets.py:499)
     crop_amount: int = 25
     # SwAV-style multi-crop recipe, consumed when --data-name

@@ -106,16 +106,27 @@ class PrefetchData:
 
 
 def wrap_for_device(data, mesh, hbm_budget_bytes: int | None = None,
-                    depth: int = 2):
+                    depth: int = 2, strategy: str = "auto"):
     """Pick the device-feeding strategy for a host PairedImageData:
     HBM-resident (DeviceData) when the canvas cache fits the budget,
-    otherwise async prefetch (PrefetchData). Non-PairedImageData inputs
-    (already-wrapped or synthetic) pass through unchanged."""
+    otherwise async prefetch (PrefetchData). `strategy` forces one:
+    "resident", "prefetch", or "host" (blocking per-step upload).
+    Non-PairedImageData inputs (already-wrapped or synthetic) pass
+    through unchanged."""
     from sm3x.data.device_data import DeviceData
     from sm3x.data.pipeline import PairedImageData
 
     if not isinstance(data, PairedImageData):
         return data
+    if strategy == "host":
+        return data
+    if strategy == "resident":
+        return DeviceData(data, mesh)
+    if strategy == "prefetch":
+        return PrefetchData(data, mesh, depth=depth)
+    if strategy != "auto":
+        raise ValueError(f"unknown device-feed strategy {strategy!r} "
+                         "(auto|resident|prefetch|host)")
     if hbm_budget_bytes is None:
         # default: stay well clear of live activations — canvases may use
         # at most ~1/4 of one chip's HBM (v5e: 16 GB)
@@ -127,3 +138,13 @@ def wrap_for_device(data, mesh, hbm_budget_bytes: int | None = None,
         except Exception:
             pass
     return PrefetchData(data, mesh, depth=depth)
+
+
+def wrap_from_config(data, mesh, data_cfg):
+    """wrap_for_device keyed by a DataConfig (--device-feed,
+    --hbm-data-budget-mb, --prefetch-depth)."""
+    return wrap_for_device(
+        data, mesh,
+        hbm_budget_bytes=int(getattr(data_cfg, "hbm_data_budget_mb", 4096)) << 20,
+        depth=int(getattr(data_cfg, "prefetch_depth", 2)),
+        strategy=getattr(data_cfg, "device_feed", "auto"))

@@ -395,11 +395,11 @@ class SSLTrainer(common.CheckpointableTrainer):
         cfg = self.cfg
         import os
 
-        from sm3x.data.prefetch import wrap_for_device
+        from sm3x.data.prefetch import wrap_from_config
 
         # HBM-resident canvases when they fit, async host->device
-        # prefetch otherwise (sm3x.data.prefetch)
-        data = wrap_for_device(data, self.mesh)
+        # prefetch otherwise; --device-feed overrides (sm3x.data.prefetch)
+        data = wrap_from_config(data, self.mesh, cfg.data)
         if cfg.optim.use_lr_schedule:
             self._apply_lr_schedule(data.steps_per_epoch(cfg.optim.batch_size))
         for epoch in range(self.start_epoch, cfg.optim.epochs):

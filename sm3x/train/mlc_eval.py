@@ -27,7 +27,7 @@ from sm3x.utils import (
     BestRecorder, setup_logger, save_checkpoint, create_eval_stat,
 )
 from sm3x.metrics import write_results_csv
-from sm3x.data.prefetch import wrap_for_device
+from sm3x.data.prefetch import wrap_from_config
 
 
 
@@ -123,8 +123,8 @@ class MLCEvalTrainer(common.CheckpointableTrainer):
     def fit(self, train_data, val_data):
         cfg = self.cfg
         self.warn_unconsumed_lr_schedule()
-        train_data = wrap_for_device(train_data, self.mesh)
-        val_data = wrap_for_device(val_data, self.mesh)
+        train_data = wrap_from_config(train_data, self.mesh, cfg.data)
+        val_data = wrap_from_config(val_data, self.mesh, cfg.data)
         summary = {}
         for prefix in ("train", "val"):
             summary.update(create_eval_stat(prefix, METRICS_NAME, CLASSES_NAME, "max"))

@@ -31,7 +31,7 @@ from sm3x.models.mlc import MLCModel
 from sm3x.ops.augment import MLC_TRAIN_AUG, ssl_augment_batch
 from sm3x.ops.kmeans import spherical_kmeans
 from sm3x.train import common
-from sm3x.data.prefetch import wrap_for_device
+from sm3x.data.prefetch import wrap_from_config
 from sm3x.utils.logging import StatWriter
 from sm3x.utils import (AverageMeter, ProgressMeter, setup_logger,
                         save_checkpoint)
@@ -251,7 +251,7 @@ class MLCTrainer(common.CheckpointableTrainer):
 
         cfg = self.cfg
         self.warn_unconsumed_lr_schedule()
-        data = wrap_for_device(data, self.mesh)
+        data = wrap_from_config(data, self.mesh, cfg.data)
         if self.bank is None:
             self.init_memory(data)
         for epoch in range(self.start_epoch, cfg.optim.epochs):

@@ -97,3 +97,28 @@ def test_wrap_for_device_picks_resident_then_prefetch(host_data, mesh):
     assert isinstance(wrapped, PrefetchData)
     # passthrough for non-PairedImageData inputs
     assert wrap_for_device(wrapped, mesh) is wrapped
+
+
+def test_wrap_for_device_forced_strategies(host_data, mesh):
+    assert wrap_for_device(host_data, mesh, strategy="host") is host_data
+    assert isinstance(wrap_for_device(host_data, mesh, strategy="resident"),
+                      DeviceData)
+    forced = wrap_for_device(host_data, mesh, strategy="prefetch", depth=3)
+    assert isinstance(forced, PrefetchData) and forced.depth == 3
+    with pytest.raises(ValueError, match="device-feed"):
+        wrap_for_device(host_data, mesh, strategy="bogus")
+
+
+def test_wrap_from_config_plumbs_cli_flags(host_data, mesh):
+    from sm3x.core.config import DataConfig
+    from sm3x.data.prefetch import wrap_from_config
+
+    forced = wrap_from_config(
+        host_data, mesh, DataConfig(device_feed="prefetch", prefetch_depth=4))
+    assert isinstance(forced, PrefetchData) and forced.depth == 4
+    # a 1 MB budget forces the auto path off HBM residency
+    auto = wrap_from_config(
+        host_data, mesh, DataConfig(hbm_data_budget_mb=0))
+    assert isinstance(auto, PrefetchData)
+    assert wrap_from_config(host_data, mesh,
+                            DataConfig()).__class__ is DeviceData
