@@ -99,7 +99,8 @@ def backbone_train_main():
 
         data = build_dataset(cfg.data.data_name, cfg.data.data_path, "train",
                              cache_size=cfg.data.cache_size,
-                             workers=cfg.run.workers)
+                             workers=cfg.run.workers,
+                             streaming=not cfg.data.cache_images)
         logger.info(f"Building train data done with {data.n} images loaded.")
         run_cfg = cfg
         if args.arch_version == "trimodal":
@@ -121,7 +122,8 @@ def backbone_train_main():
 
             test = build_dataset(cfg.data.data_name, cfg.data.data_path,
                                  "test", cache_size=cfg.data.cache_size,
-                                 workers=cfg.run.workers)
+                                 workers=cfg.run.workers,
+                                 streaming=not cfg.data.cache_images)
             extract = make_ssl_extract_fn(
                 trainer.model, trainer.state, trainer.mesh,
                 tuple(cfg.data.mean), tuple(cfg.data.std),
@@ -176,7 +178,8 @@ def mlc_train_main():
 
         data = build_dataset(cfg.data.data_name, cfg.data.data_path, "train",
                              cache_size=cfg.data.cache_size,
-                             workers=cfg.run.workers)
+                             workers=cfg.run.workers,
+                             streaming=not cfg.data.cache_images)
         logger.info(f"Building train data done with {data.n} images loaded.")
         extractor_tree = None
         if cfg.extractor_weights:
@@ -229,10 +232,12 @@ def mlc_eval_main():
 
         train = build_dataset(cfg.data.data_name, cfg.data.data_path, "train",
                               cache_size=cfg.data.cache_size,
-                              workers=cfg.run.workers)
+                              workers=cfg.run.workers,
+                              streaming=not cfg.data.cache_images)
         test = build_dataset(cfg.data.data_name, cfg.data.data_path, "test",
                              cache_size=cfg.data.cache_size,
-                             workers=cfg.run.workers)
+                             workers=cfg.run.workers,
+                             streaming=not cfg.data.cache_images)
         logger.info(f"train {train.n} / test {test.n} images loaded.")
         tree = None
         if cfg.run.pretrain_path and os.path.isfile(cfg.run.pretrain_path):
@@ -273,10 +278,12 @@ def backbone_eval_main():
 
         train = build_dataset(cfg.data.data_name, cfg.data.data_path, "train",
                               cache_size=cfg.data.cache_size,
-                              workers=cfg.run.workers)
+                              workers=cfg.run.workers,
+                              streaming=not cfg.data.cache_images)
         test = build_dataset(cfg.data.data_name, cfg.data.data_path, "test",
                              cache_size=cfg.data.cache_size,
-                             workers=cfg.run.workers)
+                             workers=cfg.run.workers,
+                             streaming=not cfg.data.cache_images)
         logger.info(f"train {train.n} / test {test.n} images loaded.")
         tree = None
         if cfg.run.pretrain_path and os.path.isfile(cfg.run.pretrain_path):

@@ -27,6 +27,11 @@ def get_parser(desc: str = "sm3x training") -> argparse.ArgumentParser:
     p.add_argument("--std", nargs=3, type=float, default=[0.229, 0.224, 0.225])
     p.add_argument("--cache-size", type=int, default=320,
                    help="host decode canvas (TPU pipeline)")
+    p.add_argument("--no-cache-images", dest="cache_images",
+                   action="store_false", default=True,
+                   help="decode batches just-in-time instead of building "
+                   "the RAM canvas cache (splits beyond host RAM; "
+                   "sm3x.data.streaming)")
     p.add_argument("--device-feed", type=str, default="auto",
                    choices=["auto", "resident", "prefetch", "host"],
                    help="device-feeding strategy: HBM-resident canvases, "
@@ -122,6 +127,7 @@ def base_configs(args) -> tuple:
         img_sz=tuple(args.img_sz), n_classes=args.n_classes,
         mean=tuple(args.mean), std=tuple(args.std),
         cache_size=args.cache_size,
+        cache_images=getattr(args, "cache_images", True),
         device_feed=getattr(args, "device_feed", "auto"),
         hbm_data_budget_mb=getattr(args, "hbm_data_budget_mb", 4096),
         prefetch_depth=getattr(args, "prefetch_depth", 2),

@@ -11,11 +11,18 @@ from sm3x.data.pipeline import ImageStore, PairedImageData
 
 
 def SevenPCBaseDataset(data_path: str, mode: str, cache_size: int = 320,
-                       workers: int = 8, grouped: bool = True) -> PairedImageData:
+                       workers: int = 8, grouped: bool = True,
+                       streaming: bool = False):
     """Paired (derm, clinic, label[8]) split over the grouped schema —
     the pipeline's dataset (reference datasets.py:477-570 + grouped
-    tables :439-474)."""
+    tables :439-474). `streaming=True` (--no-cache-images) decodes
+    batches just-in-time instead of building the RAM canvas cache
+    (sm3x.data.streaming — splits beyond host RAM)."""
     meta = Derm7ptMeta(data_path, grouped=grouped)
+    if streaming:
+        from sm3x.data.streaming import StreamingPairedData
+
+        return StreamingPairedData.from_meta(meta, mode, cache_size, workers)
     return PairedImageData.from_meta(meta, mode, cache_size, workers)
 
 
@@ -61,8 +68,16 @@ class SingleImageData:
                    self.labels[sel], sel.astype(np.int32), mask)
 
 
+def _no_streaming(name: str, streaming: bool):
+    if streaming:
+        raise NotImplementedError(
+            f"--no-cache-images (streaming decode) applies to the paired "
+            f"Derm7pt datasets, not {name}")
+
+
 def ISIC17Dataset(data_path: str, mode: str, cache_size: int = 320,
-                  workers: int = 8) -> SingleImageData:
+                  workers: int = 8, streaming: bool = False) -> SingleImageData:
+    _no_streaming("ISIC17Dataset", streaming)
     sub = "ISIC-2017_Training_Data" if mode == "train" else "ISIC-2017_Test_v2_Data"
     csv = "train_labels.csv" if mode == "train" else "test_labels.csv"
     return SingleImageData(os.path.join(data_path, sub),
@@ -70,7 +85,8 @@ def ISIC17Dataset(data_path: str, mode: str, cache_size: int = 320,
 
 
 def ISIC18Dataset(data_path: str, mode: str, cache_size: int = 320,
-                  workers: int = 8) -> SingleImageData:
+                  workers: int = 8, streaming: bool = False) -> SingleImageData:
+    _no_streaming("ISIC18Dataset", streaming)
     sub = ("ISIC2018_Task1-2_Training_Input" if mode == "train"
            else "ISIC2018_Task1-2_Test_Input")
     csv = "train_labels.csv" if mode == "train" else "test_labels.csv"

@@ -48,50 +48,59 @@ def letterbox(img: np.ndarray, size: int) -> Tuple[np.ndarray, Tuple[int, int]]:
     return canvas, (nh, nw)
 
 
-class ImageStore:
-    """Decode-once uint8 canvas cache for a list of image paths.
-
-    JPEGs go through the native multi-threaded libjpeg loader
+def decode_canvas_batch(paths: Sequence[str], cache_size: int,
+                        crop_amount: int = 25, workers: int = 8,
+                        use_native: bool = True
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode `paths` into ((N,S,S,3) uint8 canvases, (N,2) int32 valid
+    hw). JPEGs go through the native multi-threaded libjpeg loader
     (sm3x/native/loader.cpp); anything it can't handle (PNG, missing
     toolchain) falls back to the OpenCV path per file."""
+    n = len(paths)
+    canvases = np.zeros((n, cache_size, cache_size, 3), dtype=np.uint8)
+    valid_hw = np.zeros((n, 2), dtype=np.int32)
+
+    todo = list(range(n))
+    if use_native and n:
+        try:
+            from sm3x.native.loader import decode_letterbox_batch
+
+            canv, hw, ok = decode_letterbox_batch(
+                list(paths), cache_size, crop_amount, workers)
+            done = np.nonzero(ok)[0]
+            canvases[done] = canv[done]
+            valid_hw[done] = hw[done]
+            todo = [i for i in range(n) if not ok[i]]
+        except Exception:
+            todo = list(range(n))
+
+    def load(i):
+        img = decode_image(paths[i])[:, :, :3]
+        # guard tiny images (same rule as the native loader): only
+        # crop when a non-empty interior remains
+        if (crop_amount > 0 and img.shape[0] > 2 * crop_amount
+                and img.shape[1] > 2 * crop_amount):
+            img = img[crop_amount:-crop_amount, crop_amount:-crop_amount]
+        canvas, (h, w) = letterbox(img, cache_size)
+        canvases[i] = canvas
+        valid_hw[i] = (h, w)
+
+    if todo:
+        with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(load, todo))
+    return canvases, valid_hw
+
+
+class ImageStore:
+    """Decode-once uint8 canvas cache for a list of image paths."""
 
     def __init__(self, paths: Sequence[str], cache_size: int = 320,
                  crop_amount: int = 25, workers: int = 8,
                  use_native: bool = True):
         self.cache_size = cache_size
         self.crop_amount = crop_amount
-        n = len(paths)
-        self.canvases = np.zeros((n, cache_size, cache_size, 3), dtype=np.uint8)
-        self.valid_hw = np.zeros((n, 2), dtype=np.int32)
-
-        todo = list(range(n))
-        if use_native and n:
-            try:
-                from sm3x.native.loader import decode_letterbox_batch
-
-                canv, hw, ok = decode_letterbox_batch(
-                    list(paths), cache_size, crop_amount, workers)
-                done = np.nonzero(ok)[0]
-                self.canvases[done] = canv[done]
-                self.valid_hw[done] = hw[done]
-                todo = [i for i in range(n) if not ok[i]]
-            except Exception:
-                todo = list(range(n))
-
-        def load(i):
-            img = decode_image(paths[i])[:, :, :3]
-            ca = self.crop_amount
-            # guard tiny images (same rule as the native loader): only
-            # crop when a non-empty interior remains
-            if ca > 0 and img.shape[0] > 2 * ca and img.shape[1] > 2 * ca:
-                img = img[ca:-ca, ca:-ca]
-            canvas, (h, w) = letterbox(img, cache_size)
-            self.canvases[i] = canvas
-            self.valid_hw[i] = (h, w)
-
-        if todo:
-            with cf.ThreadPoolExecutor(max_workers=workers) as ex:
-                list(ex.map(load, todo))
+        self.canvases, self.valid_hw = decode_canvas_batch(
+            paths, cache_size, crop_amount, workers, use_native)
 
 
 @dataclasses.dataclass

@@ -99,7 +99,7 @@ class PrefetchData:
             # unblock the producer if the consumer stops early
             while t.is_alive():
                 try:
-                    q.get_nowait()
+                    q.get(timeout=0.05)
                 except queue.Empty:
                     pass
             t.join(timeout=5)
@@ -115,7 +115,19 @@ def wrap_for_device(data, mesh, hbm_budget_bytes: int | None = None,
     through unchanged."""
     from sm3x.data.device_data import DeviceData
     from sm3x.data.pipeline import PairedImageData
+    from sm3x.data.streaming import StreamingPairedData
 
+    if isinstance(data, StreamingPairedData):
+        # just-in-time decode: nothing to make resident; overlap the
+        # upload with compute unless the caller wants the host path
+        if strategy == "host":
+            return data
+        if strategy == "resident":
+            raise ValueError(
+                "--device-feed resident needs the decoded canvas cache; "
+                "streaming (--no-cache-images) decodes just-in-time — "
+                "drop one of the two flags")
+        return PrefetchData(data, mesh, depth=depth)
     if not isinstance(data, PairedImageData):
         return data
     if strategy == "host":

@@ -11,6 +11,9 @@ answers, picked automatically by sm3x.data.prefetch.wrap_for_device:
               transfers depth batches ahead (H2D rides under compute)
   resident  — DeviceData: whole canvas cache lives in HBM, zero per-step
               upload (only fits datasets a fraction of HBM in size)
+  stream    — PrefetchData over StreamingPairedData (--no-cache-images):
+              JPEG decode AND upload both ride under compute; O(batch)
+              host memory (the path for splits beyond host RAM)
 
 Runs the REAL stage-1 SSL step (dual encoder, fused aug, 3x NT-Xent,
 AdamW) over an on-disk fake Derm7pt so the full gather+upload path is
@@ -67,6 +70,10 @@ def main():
         "sync": lambda: data,
         "prefetch": lambda: PrefetchData(data, trainer.mesh, depth=2),
         "resident": lambda: DeviceData(data, trainer.mesh),
+        "stream": lambda: PrefetchData(
+            build_dataset("SevenPCBaseDataset", root, "train",
+                          cache_size=256, streaming=True),
+            trainer.mesh, depth=2),
     }
     for name, make in variants.items():
         feed = make()
