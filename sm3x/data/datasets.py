@@ -54,16 +54,12 @@ class SingleImageData:
 
     def batches(self, batch_size: int, epoch: int = 0, seed: int = 3407,
                 shuffle: bool = True):
+        from sm3x.data.pipeline import iter_batch_selections
+
         idx = np.arange(self.n)
         if shuffle:
             np.random.default_rng(seed + epoch).shuffle(idx)
-        for start in range(0, self.n, batch_size):
-            sel = idx[start:start + batch_size]
-            mask = np.ones(len(sel), dtype=bool)
-            if len(sel) < batch_size:
-                padn = batch_size - len(sel)
-                sel = np.concatenate([sel, np.resize(idx, padn)])
-                mask = np.concatenate([mask, np.zeros(padn, dtype=bool)])
+        for sel, mask in iter_batch_selections(idx, batch_size):
             yield (self.store.canvases[sel], self.store.valid_hw[sel],
                    self.labels[sel], sel.astype(np.int32), mask)
 

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sm3x.core.mesh import data_sharding, replicate
-from sm3x.data.pipeline import Batch, PairedImageData
+from sm3x.data.pipeline import Batch, PairedImageData, iter_batch_selections
 
 
 class DeviceData:
@@ -47,16 +47,8 @@ class DeviceData:
     def batches(self, batch_size: int, epoch: int = 0, seed: int = 3407,
                 shuffle: bool = True, pad: str = "wrap") -> Iterator[Batch]:
         order = self.epoch_order(epoch, seed, shuffle)
-        n = len(order)
         gather = self._gather
-        for start in range(0, n, batch_size):
-            sel = order[start:start + batch_size]
-            mask = np.ones(len(sel), dtype=bool)
-            if len(sel) < batch_size:
-                padn = batch_size - len(sel)
-                # np.resize tiles when padn > n (tiny splits vs big batches)
-                sel = np.concatenate([sel, np.resize(order, padn)])
-                mask = np.concatenate([mask, np.zeros(padn, dtype=bool)])
+        for sel, mask in iter_batch_selections(order, batch_size):
             idx = replicate(self.mesh, jnp.asarray(sel, jnp.int32))
             derm, derm_hw = gather(self._derm, self._derm_hw, idx)
             clinic, clinic_hw = gather(self._clinic, self._clinic_hw, idx)

@@ -115,6 +115,25 @@ class Batch:
     meta: np.ndarray = None   # (B, F) int32 metadata codes (tri-modal)
 
 
+def iter_batch_selections(order: np.ndarray, batch_size: int):
+    """Yield (sel, mask) index slices of `order` padded (by wrapping) to
+    a fixed batch size — THE one definition of which samples each step
+    sees, shared by every feed (cached/resident/streaming) so switching
+    feeds never changes sample selection. Mask is False on wrap-padding
+    (the reference's DistributedSampler pads similarly; SURVEY §7
+    'tiny-dataset distributed sampling')."""
+    n = len(order)
+    for start in range(0, n, batch_size):
+        sel = order[start:start + batch_size]
+        mask = np.ones(len(sel), dtype=bool)
+        if len(sel) < batch_size:
+            padn = batch_size - len(sel)
+            # np.resize tiles when padn > n (tiny splits vs big batches)
+            sel = np.concatenate([sel, np.resize(order, padn)])
+            mask = np.concatenate([mask, np.zeros(padn, dtype=bool)])
+        yield sel, mask
+
+
 class PairedImageData:
     """A split of paired derm/clinic canvases + labels, ready to batch."""
 
@@ -151,20 +170,10 @@ class PairedImageData:
 
     def batches(self, batch_size: int, epoch: int = 0, seed: int = 3407,
                 shuffle: bool = True, pad: str = "wrap"):
-        """Yield fixed-size Batches (static shapes for jit). The last
-        partial batch is padded by wrapping (mask marks padding) — the
-        DistributedSampler pads similarly, SURVEY §7 'tiny-dataset
-        distributed sampling'."""
+        """Yield fixed-size Batches (static shapes for jit); see
+        iter_batch_selections for the padding semantics."""
         order = self.epoch_order(epoch, seed, shuffle)
-        n = len(order)
-        for start in range(0, n, batch_size):
-            sel = order[start:start + batch_size]
-            mask = np.ones(len(sel), dtype=bool)
-            if len(sel) < batch_size:
-                padn = batch_size - len(sel)
-                # np.resize tiles when padn > n (tiny splits vs big batches)
-                sel = np.concatenate([sel, np.resize(order, padn)])
-                mask = np.concatenate([mask, np.zeros(padn, dtype=bool)])
+        for sel, mask in iter_batch_selections(order, batch_size):
             yield Batch(
                 derm=self.derm.canvases[sel],
                 derm_hw=self.derm.valid_hw[sel],

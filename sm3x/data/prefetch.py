@@ -19,17 +19,61 @@ the host work is a numpy gather — decode happened once at dataset build
 
 from __future__ import annotations
 
+import dataclasses
 import queue
 import threading
+import warnings
 from typing import Iterator
 
-import dataclasses
-
 import jax
-import numpy as np
 
 from sm3x.core.mesh import data_sharding
 from sm3x.data.pipeline import Batch
+
+
+def iter_with_producer(make_items, depth: int, name: str):
+    """Yield items from the iterator `make_items()` produced by a daemon
+    thread running up to `depth` items ahead. The producer is CANCELLED
+    when the consumer stops early (generator close / exception unwind) —
+    it stops after the in-flight item instead of finishing the epoch.
+    Producer exceptions re-raise in the consumer."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    _END = object()
+
+    def producer():
+        try:
+            it = make_items()
+            while not stop.is_set():
+                try:
+                    item = next(it)
+                except StopIteration:
+                    break
+                q.put(item)  # blocks when full; the drain loop unblocks
+        except BaseException as e:  # surface in the consumer
+            q.put(e)
+            return
+        q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True, name=name)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        # unblock a producer stuck in q.put so it can see the stop flag
+        while t.is_alive():
+            try:
+                q.get(timeout=0.05)
+            except queue.Empty:
+                pass
+        t.join(timeout=5)
 
 
 class PrefetchData:
@@ -38,8 +82,7 @@ class PrefetchData:
     `batches` yields Batch objects whose derm/clinic canvas+hw fields are
     already device arrays sharded over the mesh "data" axis, transferred
     up to `depth` batches ahead of consumption. Labels/index/mask/meta
-    stay host-side (they feed host logic or are tiny).
-    """
+    stay host-side (they feed host logic or are tiny)."""
 
     def __init__(self, data, mesh, depth: int = 2):
         if depth < 1:
@@ -61,10 +104,10 @@ class PrefetchData:
     def batches(self, batch_size: int, epoch: int = 0, seed: int = 3407,
                 shuffle: bool = True, pad: str = "wrap") -> Iterator[Batch]:
         sharding = data_sharding(self.mesh)
-        q: queue.Queue = queue.Queue(maxsize=self.depth)
-        _END = object()
 
         def put(batch: Batch) -> Batch:
+            # device_put here (producer thread) starts the H2D transfer
+            # `depth` batches ahead of the consumer
             dev = jax.device_put(
                 (batch.derm, batch.derm_hw, batch.clinic, batch.clinic_hw),
                 sharding)
@@ -72,51 +115,42 @@ class PrefetchData:
                 batch, derm=dev[0], derm_hw=dev[1],
                 clinic=dev[2], clinic_hw=dev[3])
 
-        def producer():
-            try:
-                for b in self._host.batches(batch_size, epoch, seed,
-                                            shuffle, pad):
-                    # device_put here (producer thread) starts the H2D
-                    # transfer `depth` batches ahead of the consumer
-                    q.put(put(b))
-            except BaseException as e:  # surface in the consumer
-                q.put(e)
-                return
-            q.put(_END)
+        yield from iter_with_producer(
+            lambda: (put(b) for b in self._host.batches(
+                batch_size, epoch, seed, shuffle, pad)),
+            self.depth, "sm3x-prefetch")
 
-        t = threading.Thread(target=producer, daemon=True,
-                             name="sm3x-prefetch")
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is _END:
-                    break
-                if isinstance(item, BaseException):
-                    raise item
-                yield item
-        finally:
-            # unblock the producer if the consumer stops early
-            while t.is_alive():
-                try:
-                    q.get(timeout=0.05)
-                except queue.Empty:
-                    pass
-            t.join(timeout=5)
+
+def resident_nbytes(wrapped) -> int:
+    """HBM bytes a wrap_for_device result pinned for canvases (0 unless
+    it chose the DeviceData strategy). Feed as `reserved_bytes` when
+    wrapping FURTHER datasets so one budget covers them all."""
+    from sm3x.data.device_data import DeviceData
+
+    if isinstance(wrapped, DeviceData):
+        host = wrapped._host
+        return int(host.derm.canvases.nbytes + host.clinic.canvases.nbytes)
+    return 0
 
 
 def wrap_for_device(data, mesh, hbm_budget_bytes: int | None = None,
-                    depth: int = 2, strategy: str = "auto"):
+                    depth: int = 2, strategy: str = "auto",
+                    reserved_bytes: int = 0):
     """Pick the device-feeding strategy for a host PairedImageData:
     HBM-resident (DeviceData) when the canvas cache fits the budget,
     otherwise async prefetch (PrefetchData). `strategy` forces one:
     "resident", "prefetch", or "host" (blocking per-step upload).
-    Non-PairedImageData inputs (already-wrapped or synthetic) pass
+    Streaming datasets (sm3x.data.streaming) compose with the prefetch
+    leg. `reserved_bytes` charges HBM already pinned by earlier wraps
+    against the budget. Other inputs (already-wrapped or synthetic) pass
     through unchanged."""
     from sm3x.data.device_data import DeviceData
     from sm3x.data.pipeline import PairedImageData
     from sm3x.data.streaming import StreamingPairedData
 
+    if strategy not in ("auto", "resident", "prefetch", "host"):
+        raise ValueError(f"unknown device-feed strategy {strategy!r} "
+                         "(auto|resident|prefetch|host)")
     if isinstance(data, StreamingPairedData):
         # just-in-time decode: nothing to make resident; overlap the
         # upload with compute unless the caller wants the host path
@@ -129,6 +163,12 @@ def wrap_for_device(data, mesh, hbm_budget_bytes: int | None = None,
                 "drop one of the two flags")
         return PrefetchData(data, mesh, depth=depth)
     if not isinstance(data, PairedImageData):
+        if strategy in ("resident", "prefetch") and not isinstance(
+                data, (DeviceData, PrefetchData)):
+            warnings.warn(
+                f"--device-feed {strategy} has no effect on "
+                f"{type(data).__name__} (not a paired canvas dataset); "
+                "feeding it as-is")
         return data
     if strategy == "host":
         return data
@@ -136,15 +176,12 @@ def wrap_for_device(data, mesh, hbm_budget_bytes: int | None = None,
         return DeviceData(data, mesh)
     if strategy == "prefetch":
         return PrefetchData(data, mesh, depth=depth)
-    if strategy != "auto":
-        raise ValueError(f"unknown device-feed strategy {strategy!r} "
-                         "(auto|resident|prefetch|host)")
     if hbm_budget_bytes is None:
         # default: stay well clear of live activations — canvases may use
         # at most ~1/4 of one chip's HBM (v5e: 16 GB)
         hbm_budget_bytes = 4 << 30
     cache_bytes = data.derm.canvases.nbytes + data.clinic.canvases.nbytes
-    if cache_bytes <= hbm_budget_bytes:
+    if cache_bytes + reserved_bytes <= hbm_budget_bytes:
         try:
             return DeviceData(data, mesh)
         except Exception:
@@ -152,11 +189,12 @@ def wrap_for_device(data, mesh, hbm_budget_bytes: int | None = None,
     return PrefetchData(data, mesh, depth=depth)
 
 
-def wrap_from_config(data, mesh, data_cfg):
+def wrap_from_config(data, mesh, data_cfg, reserved_bytes: int = 0):
     """wrap_for_device keyed by a DataConfig (--device-feed,
     --hbm-data-budget-mb, --prefetch-depth)."""
     return wrap_for_device(
         data, mesh,
         hbm_budget_bytes=int(getattr(data_cfg, "hbm_data_budget_mb", 4096)) << 20,
         depth=int(getattr(data_cfg, "prefetch_depth", 2)),
-        strategy=getattr(data_cfg, "device_feed", "auto"))
+        strategy=getattr(data_cfg, "device_feed", "auto"),
+        reserved_bytes=reserved_bytes)

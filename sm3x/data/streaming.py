@@ -23,12 +23,10 @@ Select it with --no-cache-images on any trainer CLI.
 
 from __future__ import annotations
 
-import queue
-import threading
-
 import numpy as np
 
-from sm3x.data.pipeline import Batch, decode_canvas_batch
+from sm3x.data.pipeline import (Batch, decode_canvas_batch,
+                                iter_batch_selections)
 
 
 class StreamingPairedData:
@@ -93,46 +91,11 @@ class StreamingPairedData:
 
     def batches(self, batch_size: int, epoch: int = 0, seed: int = 3407,
                 shuffle: bool = True, pad: str = "wrap"):
+        from sm3x.data.prefetch import iter_with_producer
+
         order = self.epoch_order(epoch, seed, shuffle)
-        n = len(order)
-        sels = []
-        for start in range(0, n, batch_size):
-            sel = order[start:start + batch_size]
-            mask = np.ones(len(sel), dtype=bool)
-            if len(sel) < batch_size:
-                padn = batch_size - len(sel)
-                sel = np.concatenate([sel, np.resize(order, padn)])
-                mask = np.concatenate([mask, np.zeros(padn, dtype=bool)])
-            sels.append((sel, mask))
-
-        q: queue.Queue = queue.Queue(maxsize=self.decode_ahead)
-        _END = object()
-
-        def producer():
-            try:
-                for sel, mask in sels:
-                    q.put(self._decode_batch(sel, mask))
-            except BaseException as e:  # surface in the consumer
-                q.put(e)
-                return
-            q.put(_END)
-
-        t = threading.Thread(target=producer, daemon=True,
-                             name="sm3x-stream-decode")
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is _END:
-                    break
-                if isinstance(item, BaseException):
-                    raise item
-                yield item
-        finally:
-            # unblock the producer if the consumer stops early
-            while t.is_alive():
-                try:
-                    q.get(timeout=0.05)
-                except queue.Empty:
-                    pass
-            t.join(timeout=5)
+        yield from iter_with_producer(
+            lambda: (self._decode_batch(sel, mask)
+                     for sel, mask in iter_batch_selections(order,
+                                                            batch_size)),
+            self.decode_ahead, "sm3x-stream-decode")

@@ -26,7 +26,7 @@ from sm3x.train.supervised import (
 from sm3x.utils.logging import StatWriter
 from sm3x.utils import setup_logger, save_checkpoint
 from sm3x.metrics import write_results_csv
-from sm3x.data.prefetch import wrap_from_config
+from sm3x.data.prefetch import resident_nbytes, wrap_from_config
 
 
 
@@ -105,7 +105,9 @@ class BackboneEvalTrainer(common.CheckpointableTrainer):
         cfg = self.cfg
         self.warn_unconsumed_lr_schedule()
         train_data = wrap_from_config(train_data, self.mesh, cfg.data)
-        val_data = wrap_from_config(val_data, self.mesh, cfg.data)
+        # one HBM budget covers BOTH splits: charge what train pinned
+        val_data = wrap_from_config(val_data, self.mesh, cfg.data,
+                                    reserved_bytes=resident_nbytes(train_data))
         best_auc = self.best_auc
         for epoch in range(self.start_epoch, cfg.optim.epochs):
             t0 = time.time()

@@ -27,7 +27,7 @@ from sm3x.utils import (
     BestRecorder, setup_logger, save_checkpoint, create_eval_stat,
 )
 from sm3x.metrics import write_results_csv
-from sm3x.data.prefetch import wrap_from_config
+from sm3x.data.prefetch import resident_nbytes, wrap_from_config
 
 
 
@@ -124,7 +124,9 @@ class MLCEvalTrainer(common.CheckpointableTrainer):
         cfg = self.cfg
         self.warn_unconsumed_lr_schedule()
         train_data = wrap_from_config(train_data, self.mesh, cfg.data)
-        val_data = wrap_from_config(val_data, self.mesh, cfg.data)
+        # one HBM budget covers BOTH splits: charge what train pinned
+        val_data = wrap_from_config(val_data, self.mesh, cfg.data,
+                                    reserved_bytes=resident_nbytes(train_data))
         summary = {}
         for prefix in ("train", "val"):
             summary.update(create_eval_stat(prefix, METRICS_NAME, CLASSES_NAME, "max"))

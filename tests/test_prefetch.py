@@ -109,6 +109,66 @@ def test_wrap_for_device_forced_strategies(host_data, mesh):
         wrap_for_device(host_data, mesh, strategy="bogus")
 
 
+def test_prefetch_early_stop_cancels_producer(host_data, mesh):
+    """Closing the generator mid-epoch must CANCEL the producer (stop
+    after the in-flight batch), not let it upload the rest of the epoch."""
+    uploads = []
+
+    class Counting:
+        n = host_data.n
+        labels = host_data.labels
+
+        def steps_per_epoch(self, bs):
+            return host_data.steps_per_epoch(bs)
+
+        def epoch_order(self, *a, **k):
+            return host_data.epoch_order(*a, **k)
+
+        def batches(self, *a, **k):
+            one = next(iter(host_data.batches(8, epoch=0)))
+            for _ in range(6):
+                uploads.append(1)
+                yield one
+
+    pre = PrefetchData(Counting(), mesh, depth=1)
+    it = pre.batches(8, epoch=0)  # 6 producer batches
+    next(it)
+    it.close()
+    # consumed 1; producer may have 1 in-flight + depth(1) queued
+    assert sum(uploads) <= 3, uploads
+
+
+def test_wrap_for_device_rejects_bad_strategy_for_streaming(host_data, mesh):
+    from sm3x.data.streaming import StreamingPairedData
+
+    stream = StreamingPairedData(["a"], ["b"], [[0] * 8])
+    with pytest.raises(ValueError, match="device-feed"):
+        wrap_for_device(stream, mesh, strategy="bogus")
+
+
+def test_wrap_for_device_warns_on_ignored_forced_strategy(mesh):
+    class Synthetic:  # not a paired canvas dataset
+        pass
+
+    with pytest.warns(UserWarning, match="no effect"):
+        wrap_for_device(Synthetic(), mesh, strategy="resident")
+
+
+def test_wrap_for_device_budget_is_cumulative(host_data, mesh):
+    from sm3x.data.prefetch import resident_nbytes
+
+    both = (host_data.derm.canvases.nbytes
+            + host_data.clinic.canvases.nbytes)
+    first = wrap_for_device(host_data, mesh, hbm_budget_bytes=both + both // 2)
+    assert isinstance(first, DeviceData)
+    assert resident_nbytes(first) == both
+    # the same split again exceeds the remaining half-budget
+    second = wrap_for_device(host_data, mesh,
+                             hbm_budget_bytes=both + both // 2,
+                             reserved_bytes=resident_nbytes(first))
+    assert isinstance(second, PrefetchData)
+
+
 def test_wrap_from_config_plumbs_cli_flags(host_data, mesh):
     from sm3x.core.config import DataConfig
     from sm3x.data.prefetch import wrap_from_config

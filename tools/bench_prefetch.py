@@ -47,6 +47,8 @@ def main():
     n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 160
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 4  # 1 warm + rest timed
+    if epochs < 2:
+        sys.exit("epochs must be >= 2 (first epoch is compile warmup)")
     arch = sys.argv[4] if len(sys.argv) > 4 else "resnet50"
 
     root = os.path.join(tempfile.gettempdir(), f"sm3x_prefetch_bench_{n_cases}")
