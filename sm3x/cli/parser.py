@@ -101,6 +101,10 @@ def get_parser(desc: str = "sm3x training") -> argparse.ArgumentParser:
                    "non-finite (failure detection; checked at epoch "
                    "granularity so the deferred-readback hot loop stays "
                    "free of device->host syncs)")
+    p.add_argument("--save-on-preempt", action="store_true",
+                   help="on SIGTERM/SIGINT, write the rolling checkpoint at "
+                   "the next epoch boundary and exit cleanly (graceful "
+                   "TPU-preemption handling; resume with --resume-path)")
     p.add_argument("--use-pallas-augment", action="store_true",
                    help="fused Pallas photometric augmentation kernel "
                    "(one HBM round-trip per image)")
@@ -150,6 +154,7 @@ def base_configs(args) -> tuple:
         ckpt_backend=getattr(args, "ckpt_backend", "msgpack"),
         ckpt_keep=getattr(args, "ckpt_keep", 3),
         print_freq=args.print_freq, nan_guard=getattr(args, 'nan_guard', False),
+        save_on_preempt=getattr(args, 'save_on_preempt', False),
         resume_path=args.resume_path,
         pretrain_path=args.pretrain_path, log_path=args.log_path,
         logger_name=args.logger_name, tensorboard=args.tensorboard,

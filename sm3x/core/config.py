@@ -119,6 +119,10 @@ class RunConfig:
     ckpt_keep: int = 3  # orbax max_to_keep
     print_freq: int = 50
     nan_guard: bool = False  # fail fast + state dump on non-finite epoch loss
+    # graceful preemption: on SIGTERM/SIGINT, checkpoint at the next epoch
+    # boundary and exit 0 (TPU maintenance events give a grace window; the
+    # reference's mp.spawn workers just die and lose the epoch)
+    save_on_preempt: bool = False
     resume_path: Optional[str] = None
     pretrain_path: Optional[str] = None
     log_path: str = "./logs"

@@ -108,6 +108,7 @@ class BackboneEvalTrainer(common.CheckpointableTrainer):
         # one HBM budget covers BOTH splits: charge what train pinned
         val_data = wrap_from_config(val_data, self.mesh, cfg.data,
                                     reserved_bytes=resident_nbytes(train_data))
+        self.install_preemption_handler()
         best_auc = self.best_auc
         for epoch in range(self.start_epoch, cfg.optim.epochs):
             t0 = time.time()
@@ -128,6 +129,8 @@ class BackboneEvalTrainer(common.CheckpointableTrainer):
                 f"Epoch {epoch}: train loss {tr['loss']:.4f}, "
                 f"val AUC_AVG {va['AUC_AVG']:.4f} (best {best_auc:.4f}) "
                 f"({(time.time() - t0) / 60:.2f} min)")
+            if self.preemption_break(epoch):
+                break
         self.finish_checkpoints()
         return best_auc
 

@@ -400,6 +400,7 @@ class SSLTrainer(common.CheckpointableTrainer):
         # HBM-resident canvases when they fit, async host->device
         # prefetch otherwise; --device-feed overrides (sm3x.data.prefetch)
         data = wrap_from_config(data, self.mesh, cfg.data)
+        self.install_preemption_handler()
         if cfg.optim.use_lr_schedule:
             self._apply_lr_schedule(data.steps_per_epoch(cfg.optim.batch_size))
         for epoch in range(self.start_epoch, cfg.optim.epochs):
@@ -414,5 +415,7 @@ class SSLTrainer(common.CheckpointableTrainer):
             if (epoch + 1) % cfg.run.save_freq == 0 or (epoch + 1) == cfg.optim.epochs:
                 self.save(os.path.join(cfg.run.log_path, f"ckp_{epoch}.msgpack"),
                           epoch)
+            if self.preemption_break(epoch):
+                break
         self.finish_checkpoints()
         return self.state

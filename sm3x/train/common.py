@@ -333,6 +333,58 @@ class CheckpointableTrainer:
         raise FloatingPointError(
             f"non-finite loss {loss} at epoch {epoch} (state: {path})")
 
+    def install_preemption_handler(self):
+        """--save-on-preempt graceful preemption (SURVEY §5 failure
+        detection/recovery): SIGTERM/SIGINT set a flag the epoch loop
+        polls via `preemption_break`, so a TPU maintenance event's grace
+        window turns into a checkpoint + clean exit instead of a lost
+        run (the reference's mp.spawn workers die mid-epoch,
+        backbone_train.py:626-640). A second signal restores the default
+        disposition — the hard-kill escape hatch."""
+        import signal
+        import threading
+
+        if not getattr(self.cfg.run, "save_on_preempt", False):
+            return
+        if threading.current_thread() is not threading.main_thread():
+            self.logger.warning(
+                "--save-on-preempt ignored: trainer not in the main thread")
+            return
+        self._preempt_signal = None
+
+        def _handler(signum, frame):
+            self._preempt_signal = signum
+            signal.signal(signum, signal.SIG_DFL)
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            signal.signal(sig, _handler)
+
+    def preemption_break(self, epoch: int) -> bool:
+        """Poll at each epoch boundary: if a preemption signal arrived,
+        write the rolling checkpoint NOW (ignoring ckpt_freq), flush any
+        async orbax save, and tell the caller to leave the epoch loop."""
+        signum = getattr(self, "_preempt_signal", None)
+        if signum is None:
+            return False
+        import os
+
+        from sm3x.utils import save_checkpoint
+
+        if self.use_orbax:
+            mgr = self._ckpt_manager()
+            mgr.wait()  # settle in-flight async saves before checking
+            if mgr.latest_step() != epoch + 1:  # epoch_checkpoint may have run
+                mgr.save(epoch + 1, self._state_tree(epoch))
+                mgr.wait()
+            where = os.path.join(self.cfg.run.log_path, "orbax_ckpt")
+        else:
+            where = os.path.join(self.cfg.run.log_path, "checkpoint.msgpack")
+            save_checkpoint(where, self._state_tree(epoch))
+        self.logger.warning(
+            f"preemption signal {signum} caught: epoch {epoch} state saved; "
+            f"resume with --resume-path {where}")
+        return True
+
     def resume(self, path=None) -> bool:
         """--resume-path dispatch shared by every CLI: a directory is an
         orbax_ckpt dir, a file is a msgpack training state (the reference's

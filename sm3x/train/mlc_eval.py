@@ -127,6 +127,7 @@ class MLCEvalTrainer(common.CheckpointableTrainer):
         # one HBM budget covers BOTH splits: charge what train pinned
         val_data = wrap_from_config(val_data, self.mesh, cfg.data,
                                     reserved_bytes=resident_nbytes(train_data))
+        self.install_preemption_handler()
         summary = {}
         for prefix in ("train", "val"):
             summary.update(create_eval_stat(prefix, METRICS_NAME, CLASSES_NAME, "max"))
@@ -166,6 +167,8 @@ class MLCEvalTrainer(common.CheckpointableTrainer):
             self.logger.debug(
                 "--------------------- Summary Statistics ----------------\n"
                 + generate_stat_text(tr, va, summary, METRICS_NAME, CLASSES_NAME))
+            if self.preemption_break(epoch):
+                break
         self.finish_checkpoints()
         return best_auc
 

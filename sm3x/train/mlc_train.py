@@ -252,6 +252,7 @@ class MLCTrainer(common.CheckpointableTrainer):
         cfg = self.cfg
         self.warn_unconsumed_lr_schedule()
         data = wrap_from_config(data, self.mesh, cfg.data)
+        self.install_preemption_handler()
         if self.bank is None:
             self.init_memory(data)
         for epoch in range(self.start_epoch, cfg.optim.epochs):
@@ -272,5 +273,7 @@ class MLCTrainer(common.CheckpointableTrainer):
                     {"epoch": epoch + 1,
                      "params": self.state.params,
                      "batch_stats": self.state.batch_stats})
+            if self.preemption_break(epoch):
+                break
         self.finish_checkpoints()
         return self.state
