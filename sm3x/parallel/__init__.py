@@ -11,6 +11,7 @@ from sm3x.parallel.collectives import (  # noqa: F401
     all_gather_varlen,
     cross_replica_mean,
     distributed_initialize,
+    host_gather,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "all_gather_varlen",
     "cross_replica_mean",
     "distributed_initialize",
+    "host_gather",
 ]

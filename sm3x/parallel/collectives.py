@@ -31,6 +31,23 @@ def cross_replica_mean(x, axis_name: str = "data"):
     return jax.lax.pmean(x, axis_name)
 
 
+def host_gather(x):
+    """Fetch a (possibly multi-host-sharded) global array to a full host
+    numpy array on EVERY process. Single-process: a plain device->host
+    copy. Multi-process: `multihost_utils.process_allgather` — each host
+    only holds its addressable shards, so epoch-end metric code cannot
+    `np.asarray` a global array directly (the reference sidesteps this by
+    computing metrics per-rank only, SURVEY §7; here every host gets the
+    full set and metrics stay single-host-identical)."""
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def all_gather_varlen(x, axis_name: str = "data", max_len: Optional[int] = None):
     """Variable-length all_gather (misc.py:629-659 semantics) inside a
     shard_map/pmap body: pad the leading dim to the cross-replica max,

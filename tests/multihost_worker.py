@@ -13,7 +13,11 @@ Modes:
          across processes), print RESULT <value>.
   ssl  — run ONE full SSL train step (dual ResNet-18, fused aug, 3-way
          NT-Xent, AdamW) on a global batch sharded over both processes,
-         print RESULT <loss>.
+         print RESULT <loss>; then re-run the SAME compiled step from a
+         copy of the initial state on a batch assembled by the
+         process-sharded feed (sm3x.data.multihost.ProcessShardedData —
+         each process gathers only its own rows), print SHARD <loss>.
+         Feed parity requires RESULT == SHARD.
 """
 
 import os
@@ -95,6 +99,11 @@ def main():
             db["clinic"], db["clinic_hw"], rng).compile()
         from jax.experimental import multihost_utils
 
+        # keep a copy of the initial state: the compiled step donates its
+        # state argument, and the SHARD leg below must start identically
+        import jax.numpy as jnp
+
+        state0 = jax.tree.map(jnp.copy, trainer.state)
         multihost_utils.sync_global_devices("sm3x_mh_compiled")
         trainer.state, metrics = compiled(
             trainer.state, db["derm"], db["derm_hw"],
@@ -102,6 +111,25 @@ def main():
         # the loss is replicated after the GSPMD psum: every process reads
         # the same scalar
         print(f"RESULT {float(metrics['loss']):.6f}", flush=True)
+
+        # feed parity: the process-sharded feed (each host assembles only
+        # its addressable rows) must reproduce the same step loss
+        from types import SimpleNamespace
+
+        from sm3x.data.multihost import ProcessShardedData
+
+        host = SimpleNamespace(
+            derm=SimpleNamespace(canvases=canvases, valid_hw=hw),
+            clinic=SimpleNamespace(canvases=canvases, valid_hw=hw),
+            labels=np.zeros((batch, 8), np.int32), n=batch,
+            meta_codes=None, meta_vocab_sizes=None,
+            epoch_order=lambda epoch, seed=3407, shuffle=True: np.arange(batch),
+            steps_per_epoch=lambda b: 1)
+        psd = ProcessShardedData(host, mesh)
+        b0 = next(iter(psd.batches(batch, epoch=0, shuffle=False)))
+        _, metrics2 = compiled(state0, b0.derm, b0.derm_hw,
+                               b0.clinic, b0.clinic_hw, rng)
+        print(f"SHARD {float(metrics2['loss']):.6f}", flush=True)
         return
 
     raise SystemExit(f"unknown mode {mode!r}")

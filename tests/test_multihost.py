@@ -66,9 +66,36 @@ def test_two_process_allreduce():
 def test_two_process_ssl_train_step():
     """ONE full SSL train step (grad psum + global-batch BN across the
     process boundary) on a 2-process mesh: both hosts read the same
-    finite loss."""
-    results = _run_workers(2, "ssl", timeout=1800)
-    assert results[0] == results[1]
+    finite loss, and the process-sharded input feed (each host assembles
+    only its addressable batch rows, sm3x.data.multihost) reproduces the
+    full-batch feed's loss exactly."""
+    port = _free_port()
+    env = dict(os.environ, PYTHONPATH=REPO)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(i), "2", str(port), "ssl"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=REPO)
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            outs.append(p.communicate(timeout=1800)[0])
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert all(p.returncode == 0 for p in procs), "\n".join(outs)
+    losses, shard_losses = [], []
+    for out in outs:
+        res = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        shd = [l for l in out.splitlines() if l.startswith("SHARD ")]
+        assert res and shd, out
+        losses.append(float(res[-1].split()[1]))
+        shard_losses.append(float(shd[-1].split()[1]))
+    assert losses[0] == losses[1]
+    assert shard_losses == losses, (losses, shard_losses)
     import math
 
-    assert math.isfinite(results[0]) and results[0] > 0
+    assert math.isfinite(losses[0]) and losses[0] > 0
