@@ -21,6 +21,7 @@ from sm3x import NUM_CLASSES
 from sm3x.core import prng
 from sm3x.core.mesh import make_mesh, replicate, shard_batch
 from sm3x.losses import weighted_multilabel_ce
+from sm3x.parallel import host_gather
 from sm3x.metrics import compute_stage_metrics
 from sm3x.models.baseline import MultiHeadClassifier
 from sm3x.ops.augment import PROBE_AUG, eval_resize_batch, ssl_augment_batch
@@ -83,7 +84,7 @@ class LinearProbe:
             for batch in val_data.batches(batch_size, 0, seed, shuffle=False):
                 feats = extract_feats(batch, jax.random.key(0), False)
                 preds = self.eval_step(self.state.params, feats)
-                preds_all.append([np.asarray(p) for p in preds])
+                preds_all.append([host_gather(p) for p in preds])
                 targets_all.append(batch.label)
                 masks.append(batch.mask)
             mask = np.concatenate(masks)

@@ -22,6 +22,7 @@ import numpy as np
 from sm3x.core import prng
 from sm3x.core.mesh import shard_batch
 from sm3x.losses import weighted_multilabel_ce
+from sm3x.parallel import host_gather
 from sm3x.metrics import compute_stage_metrics, mean_average_precision
 from sm3x.ops.augment import ssl_augment_batch, eval_resize_batch
 from sm3x.utils import AverageMeter
@@ -77,7 +78,9 @@ def run_train_epoch(trainer, data, epoch: int) -> dict:
             trainer.state, db["derm"], db["derm_hw"],
             db["clinic"], db["clinic_hw"], db["label"], rng)
         losses.update(float(loss), batch.derm.shape[0])
-        all_preds.append([np.asarray(p) for p in preds])
+        # host_gather: multi-host processes only hold their addressable
+        # prediction shards; metrics run on the full set on every host
+        all_preds.append([host_gather(p) for p in preds])
         all_targets.append(batch.label)
         all_masks.append(batch.mask)
     stats = _epoch_metrics(all_preds, all_targets, all_masks)
@@ -98,7 +101,7 @@ def run_eval_epoch(trainer, data, epoch: int = 0) -> dict:
         preds = trainer.eval_step(
             trainer.state.params, trainer.state.batch_stats,
             db["derm"], db["derm_hw"], db["clinic"], db["clinic_hw"])
-        all_preds.append([np.asarray(p) for p in preds])
+        all_preds.append([host_gather(p) for p in preds])
         all_targets.append(batch.label)
         all_masks.append(batch.mask)
     return _epoch_metrics(all_preds, all_targets, all_masks)
@@ -117,7 +120,7 @@ def collect_eval_logits(trainer, data):
         preds = trainer.eval_step(
             trainer.state.params, trainer.state.batch_stats,
             db["derm"], db["derm_hw"], db["clinic"], db["clinic_hw"])
-        all_preds.append([np.asarray(p) for p in preds])
+        all_preds.append([host_gather(p) for p in preds])
         all_targets.append(batch.label)
         all_masks.append(batch.mask)
     return _concat_masked(all_preds, all_targets, all_masks)

@@ -10,7 +10,9 @@ boundary (the DCN stand-in) — without TPU pod hardware.
 Usage: python multihost_worker.py <process_id> <num_processes> <port> <mode>
 Modes:
   psum — device_put a data-sharded global array, jit a sum (allreduce
-         across processes), print RESULT <value>.
+         across processes), print RESULT <value>; then host_gather the
+         sharded array (process_allgather) and print GATHER <sum> — the
+         epoch-end metrics path over cross-process predictions.
   ssl  — run ONE full SSL train step (dual ResNet-18, fused aug, 3-way
          NT-Xent, AdamW) on a global batch sharded over both processes,
          print RESULT <loss>; then re-run the SAME compiled step from a
@@ -68,6 +70,15 @@ def main():
         arr = shard_batch(mesh, {"x": x})["x"]
         out = jax.jit(lambda a: a.sum())(arr)  # cross-process allreduce
         print(f"RESULT {float(out):.6f}", flush=True)
+
+        # host_gather: every process reconstructs the FULL array from its
+        # addressable shards (the multi-host eval-metrics path)
+        from sm3x.parallel import host_gather
+
+        full = host_gather(arr)
+        assert full.shape == x.shape, full.shape
+        assert (full == x).all()
+        print(f"GATHER {float(full.sum()):.6f}", flush=True)
         return
 
     if mode == "ssl":

@@ -8,6 +8,7 @@ collectives — cross-process allreduce actually happens, so the
 multi-host code path is validated end-to-end without pod hardware.
 """
 
+import math
 import os
 import socket
 import subprocess
@@ -27,6 +28,8 @@ def _free_port() -> int:
 
 
 def _run_workers(nprocs: int, mode: str, timeout: float):
+    """Launch the worker in `mode` on nprocs processes; return each
+    process's full stdout (all must exit 0)."""
     port = _free_port()
     env = dict(os.environ, PYTHONPATH=REPO)
     procs = [
@@ -45,21 +48,26 @@ def _run_workers(nprocs: int, mode: str, timeout: float):
             if p.poll() is None:
                 p.kill()
     assert all(p.returncode == 0 for p in procs), "\n".join(outs)
-    results = []
-    for out in outs:
-        lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
-        assert lines, out
-        results.append(float(lines[-1].split()[1]))
-    return results
+    return outs
+
+
+def _value(out: str, tag: str) -> float:
+    lines = [l for l in out.splitlines() if l.startswith(tag + " ")]
+    assert lines, out
+    return float(lines[-1].split()[1])
 
 
 def test_two_process_allreduce():
     """A data-sharded global array's sum crosses the process boundary;
-    both processes must agree on the replicated result."""
-    results = _run_workers(2, "psum", timeout=240)
+    both processes must agree on the replicated result, and host_gather
+    must rebuild the full array on each process (GATHER line — the
+    worker asserts element equality itself)."""
+    outs = _run_workers(2, "psum", timeout=240)
     n = 8  # 2 processes x 4 virtual devices
     expected = float(sum(range(n * 3)))
-    assert results == [expected] * 2
+    for out in outs:
+        assert _value(out, "RESULT") == expected
+        assert _value(out, "GATHER") == expected
 
 
 @pytest.mark.slow
@@ -69,33 +77,9 @@ def test_two_process_ssl_train_step():
     finite loss, and the process-sharded input feed (each host assembles
     only its addressable batch rows, sm3x.data.multihost) reproduces the
     full-batch feed's loss exactly."""
-    port = _free_port()
-    env = dict(os.environ, PYTHONPATH=REPO)
-    procs = [
-        subprocess.Popen(
-            [sys.executable, WORKER, str(i), "2", str(port), "ssl"],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env=env, cwd=REPO)
-        for i in range(2)
-    ]
-    outs = []
-    try:
-        for p in procs:
-            outs.append(p.communicate(timeout=1800)[0])
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
-    assert all(p.returncode == 0 for p in procs), "\n".join(outs)
-    losses, shard_losses = [], []
-    for out in outs:
-        res = [l for l in out.splitlines() if l.startswith("RESULT ")]
-        shd = [l for l in out.splitlines() if l.startswith("SHARD ")]
-        assert res and shd, out
-        losses.append(float(res[-1].split()[1]))
-        shard_losses.append(float(shd[-1].split()[1]))
+    outs = _run_workers(2, "ssl", timeout=1800)
+    losses = [_value(out, "RESULT") for out in outs]
+    shard_losses = [_value(out, "SHARD") for out in outs]
     assert losses[0] == losses[1]
     assert shard_losses == losses, (losses, shard_losses)
-    import math
-
     assert math.isfinite(losses[0]) and losses[0] > 0
