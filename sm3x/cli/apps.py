@@ -47,6 +47,25 @@ def _apply_platform_env():
                 int(os.environ.get("SM3X_CPU_DEVICES", "8")))
 
 
+def _maybe_distributed(args):
+    """--coordinator host:port (+ --num-processes/--process-id) brings up
+    jax.distributed before any mesh/backend use — the CLI surface of the
+    reference's init_process_group + mp.spawn launcher
+    (misc.py:390-415, backbone_train.py:626-631). Non-zero processes log
+    into '<log_path>_rankN' so increment_path run dirs don't collide on
+    a shared filesystem (the reference writes per-rank log files)."""
+    if not getattr(args, "coordinator", None):
+        return
+    from sm3x.parallel import distributed_initialize
+
+    distributed_initialize(args.coordinator, args.num_processes,
+                           args.process_id)
+    import jax
+
+    if jax.process_index() > 0:
+        args.log_path = f"{args.log_path}_rank{jax.process_index()}"
+
+
 def _capture_errors(log_path: str, fn):
     try:
         return fn()
@@ -91,6 +110,7 @@ def backbone_train_main():
                         "(backbone_train.py:293-426; disabled at :607 in "
                         "the reference)")
     args = parser.parse_args()
+    _maybe_distributed(args)
     cfg = ssl_config(args)
     logger = _setup(args, cfg, "sm3x.ssl")
 
@@ -170,6 +190,7 @@ def mlc_train_main():
     parser.add_argument("--l2-norm", action="store_true")
     parser.add_argument("--finetune-backbone", action="store_true")
     args = parser.parse_args()
+    _maybe_distributed(args)
     cfg = mlc_train_config(args)
     logger = _setup(args, cfg, "sm3x.mlc")
 
@@ -224,6 +245,7 @@ def mlc_eval_main():
     parser.add_argument("--train-sz", type=int, default=224)
     parser.add_argument("--test-sz", type=int, default=224)
     args = parser.parse_args()
+    _maybe_distributed(args)
     cfg = eval_config(args)
     logger = _setup(args, cfg, "sm3x.mlc_eval")
 
@@ -270,6 +292,7 @@ def backbone_eval_main():
     parser.add_argument("--num-labels", type=int, default=8)
     parser.add_argument("--label-weights", nargs="*", type=float, default=[1.0] * 8)
     args = parser.parse_args()
+    _maybe_distributed(args)
     cfg = eval_config(args)
     logger = _setup(args, cfg, "sm3x.backbone_eval")
 

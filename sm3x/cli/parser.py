@@ -82,6 +82,15 @@ def get_parser(desc: str = "sm3x training") -> argparse.ArgumentParser:
                    help="model/tensor-parallel mesh axis size")
     p.add_argument("--world-size", default=None, type=int,
                    help="logical world size for local-negative parity")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="multi-host bring-up: coordinator address "
+                   "'host:port' for jax.distributed (the reference's "
+                   "--dist-url, misc.py:402-410); run the SAME command on "
+                   "every host with its --process-id")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="total process (host) count for --coordinator")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this host's rank for --coordinator")
 
     # misc
     p.add_argument("--seed", type=int, default=3407)
