@@ -105,6 +105,13 @@ def backbone_train_main():
     parser.add_argument("--use-checkpoint", action="store_true")
     parser.add_argument("--use-pallas-ntxent", action="store_true",
                         help="fused Pallas NT-Xent kernel in the SSL loss")
+    parser.add_argument("--bn-stat-freq", type=int, default=1,
+                        help="OFF-RECIPE throughput knob (+11%% at K=4): "
+                        "refresh BN batch statistics only every K-th step; "
+                        "the other steps normalize with running stats "
+                        "(eval-BN forward, no stat pass). Safe at low lr "
+                        "(the recipe regime), measurably harmful at high "
+                        "lr — see BENCH.md. 1 = reference semantics")
     parser.add_argument("--linear-probe", action="store_true",
                         help="run the in-tool linear probe after training "
                         "(backbone_train.py:293-426; disabled at :607 in "

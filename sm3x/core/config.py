@@ -81,6 +81,16 @@ class ModelConfig:
     # contrasts against global view 1 of its modality); only consumed
     # with --data-name SevenPCSwavDataset
     local_loss_weight: float = 1.0
+    # periodic BN-statistic refresh (OFF-RECIPE; 1 = reference semantics).
+    # With K>1 only every K-th SSL step runs train-mode BN (batch stats +
+    # EMA update); the other K-1 steps normalize with the running
+    # statistics (eval-BN forward: the stat pass — +41% of forward,
+    # BENCH.md — disappears and the backward loses the batch-correlation
+    # reduction terms). This is the one structural escape from the
+    # stat-pass tax identified by the round-2 BN experiments; it changes
+    # normalization semantics (stats lag up to K-1 steps), so it is a
+    # throughput knob users opt into, never a default.
+    bn_stat_freq: int = 1
     # metadata vocab sizes for --arch-version trimodal (derived from the
     # dataset's metadata fields by the CLI; this default matches Derm7pt's
     # elevation/sex/location cardinality upper bounds)

@@ -30,8 +30,15 @@ from sm3x.utils import AverageMeter, ProgressMeter, setup_logger, save_checkpoin
 def make_ssl_train_step(model, style: int, temperature: float, groups: int,
                         mean, std, aug_cfg=SSL_AUG, use_pallas: bool = False,
                         use_pallas_aug: bool = False, mesh=None,
-                        multicrop=None):
+                        multicrop=None, frozen_bn: bool = False):
     """Returns jitted (state, canvases..., rng) -> (state, metrics).
+
+    `frozen_bn`: the --bn-stat-freq fast step — forward with eval-mode BN
+    (normalize with running statistics; no batch-stat pass, so the conv
+    epilogue fuses the normalize and the backward loses the
+    batch-correlation reductions) while still taking the full gradient
+    step. `state.batch_stats` passes through unchanged; the caller runs
+    the standard step every K-th iteration to refresh the EMA.
 
     `multicrop`: None, or a dict with size_crops/nmb_crops/min_scale_crops/
     max_scale_crops/local_weight (the SevenPCSwavDataset recipe): crop
@@ -89,20 +96,31 @@ def make_ssl_train_step(model, style: int, temperature: float, groups: int,
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
-            if multicrop is not None:
+            if frozen_bn:
+                if multicrop is not None:
+                    outs = model.apply(variables, (d1, d2), (c1, c2),
+                                       d_locals, c_locals, train=False,
+                                       method="multicrop")
+                else:
+                    outs = model.apply(variables, (d1, d2), (c1, c2),
+                                       train=False)
+                new_stats = state.batch_stats
+            elif multicrop is not None:
                 outs, mut = model.apply(
                     variables, (d1, d2), (c1, c2), d_locals, c_locals,
                     train=True, mutable=["batch_stats"], method="multicrop",
                 )
+                new_stats = mut["batch_stats"]
             else:
                 outs, mut = model.apply(
                     variables, (d1, d2), (c1, c2), train=True,
                     mutable=["batch_stats"],
                 )
+                new_stats = mut["batch_stats"]
             total, parts = ssl_loss(outs, style, temperature, groups,
                                     use_pallas=use_pallas,
                                     local_weight=local_weight)
-            return total, (mut["batch_stats"], parts)
+            return total, (new_stats, parts)
 
         (loss, (new_stats, parts)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
@@ -207,6 +225,12 @@ class SSLTrainer(common.CheckpointableTrainer):
 
         self.policy = policy_for(cfg.optim.amp)
         self.is_trimodal = m.arch_version == "trimodal"
+        self.bn_stat_freq = max(1, int(getattr(m, "bn_stat_freq", 1)))
+        if self.bn_stat_freq > 1 and self.is_trimodal:
+            raise ValueError(
+                "--bn-stat-freq applies to the dual-modal SSL step only "
+                "(the trimodal step's dropout views need train-mode "
+                "forward)")
         if self.is_trimodal:
             # the BASELINE.json stretch goal: dual images + patient
             # metadata third modality (sm3x/models/trimodal.py)
@@ -303,6 +327,20 @@ class SSLTrainer(common.CheckpointableTrainer):
                 use_pallas=m.use_pallas_ntxent,
                 use_pallas_aug=m.use_pallas_augment, mesh=self.mesh,
                 multicrop=multicrop)
+        # --bn-stat-freq K>1 (off-recipe): every K-th step refreshes BN
+        # batch statistics; the rest run the eval-BN fast step
+        self.fast_step = None
+        if self.bn_stat_freq > 1:
+            self.fast_step = make_ssl_train_step(
+                self.model, self.style, m.temperature, self.groups,
+                tuple(cfg.data.mean), tuple(cfg.data.std), aug_cfg,
+                use_pallas=m.use_pallas_ntxent,
+                use_pallas_aug=m.use_pallas_augment, mesh=self.mesh,
+                multicrop=multicrop, frozen_bn=True)
+            self.logger.info(
+                f"bn-stat-freq {self.bn_stat_freq}: BN statistics refresh "
+                f"every {self.bn_stat_freq} steps (OFF-RECIPE; running "
+                f"stats lag up to {self.bn_stat_freq - 1} steps)")
         self.start_epoch = 0
 
     def _place_state(self):
@@ -346,7 +384,10 @@ class SSLTrainer(common.CheckpointableTrainer):
                     device_batch["clinic"], device_batch["clinic_hw"],
                     meta, rng)
             else:
-                self.state, metrics = self.train_step(
+                step_fn = self.train_step
+                if self.fast_step is not None and it % self.bn_stat_freq:
+                    step_fn = self.fast_step
+                self.state, metrics = step_fn(
                     self.state, device_batch["derm"], device_batch["derm_hw"],
                     device_batch["clinic"], device_batch["clinic_hw"], rng)
             pending.append((metrics["loss"], batch.derm.shape[0]))

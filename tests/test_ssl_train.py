@@ -129,6 +129,53 @@ def test_ssl_multicrop_rejects_bad_recipe(tmp_path):
                             max_scale_crops=(1.0, 0.5)), **base))
 
 
+def test_ssl_bn_stat_freq(tiny_cfg, tmp_path):
+    """--bn-stat-freq K: the fast step trains params through an eval-BN
+    forward without touching batch statistics; the refresh step advances
+    them (the off-recipe stat-pass escape, BENCH.md round 2)."""
+    cfg = dataclasses.replace(
+        tiny_cfg,
+        model=dataclasses.replace(tiny_cfg.model, bn_stat_freq=2),
+        run=dataclasses.replace(tiny_cfg.run, log_path=str(tmp_path)))
+    t = SSLTrainer(cfg)
+    assert t.fast_step is not None and t.bn_stat_freq == 2
+
+    canvases, hw, _ = synthetic_canvas_batch(8, canvas=64, seed=0)
+    db = shard_batch(t.mesh, {
+        "derm": canvases, "derm_hw": hw, "clinic": canvases, "clinic_hw": hw})
+    rng = prng.step_rng(t.rng, 0, 0)
+
+    stats0 = jax.device_get(t.state.batch_stats)
+    params0 = jax.device_get(t.state.params)
+    state1, m1 = t.fast_step(t.state, db["derm"], db["derm_hw"],
+                             db["clinic"], db["clinic_hw"], rng)
+    assert np.isfinite(float(m1["loss"]))
+    # fast step: batch statistics untouched, params still trained
+    for a, b in zip(jax.tree.leaves(stats0),
+                    jax.tree.leaves(jax.device_get(state1.batch_stats))):
+        np.testing.assert_array_equal(a, b)
+    assert any(
+        not np.array_equal(a, b)
+        for a, b in zip(jax.tree.leaves(params0),
+                        jax.tree.leaves(jax.device_get(state1.params))))
+
+    # refresh step: statistics advance
+    stats1 = jax.device_get(state1.batch_stats)
+    state2, m2 = t.train_step(state1, db["derm"], db["derm_hw"],
+                              db["clinic"], db["clinic_hw"], rng)
+    assert np.isfinite(float(m2["loss"]))
+    assert any(
+        not np.array_equal(a, b)
+        for a, b in zip(jax.tree.leaves(stats1),
+                        jax.tree.leaves(jax.device_get(state2.batch_stats))))
+
+    # trimodal + bn-stat-freq is refused up front
+    with pytest.raises(ValueError, match="dual-modal"):
+        SSLTrainer(dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, arch_version="trimodal", bn_stat_freq=2)))
+
+
 def test_ssl_lr_schedule_optin(tmp_path):
     """--use-lr-schedule: warmup+cosine replaces the constant lr (the
     reference accepts but never consumes the warmup flags); params still

@@ -82,6 +82,8 @@ def make_structured_dataset(n=192, size=160, seed=0):
         data.clinic = clinic
         data.labels = labels[split_idx].astype(np.int32)
         data.n = len(split_idx)
+        data.meta_codes = None  # no synthetic patient metadata
+        data.meta_vocab_sizes = None
         return data
 
     perm = rng.permutation(n)
@@ -101,6 +103,12 @@ def main():
                    help="also run stage-2 DeepCluster + supervised eval")
     p.add_argument("--mlc-epochs", type=int, default=40)
     p.add_argument("--eval-epochs", type=int, default=25)
+    p.add_argument("--bn-stat-freq", type=int, default=1,
+                   help="run the SSL stage with the off-recipe periodic "
+                   "BN-stat refresh (learnability check for the lever)")
+    p.add_argument("--lr", type=float, default=1e-3,
+                   help="SSL learning rate (the BN-stat-freq lever's "
+                   "safety depends on how fast params outrun the EMA)")
     args = p.parse_args()
 
     from sm3x.core.config import SSLConfig, DataConfig, ModelConfig, OptimConfig, RunConfig
@@ -115,9 +123,9 @@ def main():
     cfg = SSLConfig(
         data=DataConfig(img_sz=(args.img_sz, args.img_sz), mean=mean, std=std),
         model=ModelConfig(arch=args.arch, arch_version="v32", proj_dim=64,
-                          temperature=0.1),
+                          temperature=0.1, bn_stat_freq=args.bn_stat_freq),
         optim=OptimConfig(epochs=args.epochs, batch_size=args.batch_size,
-                          base_lr=1e-3, amp=True),
+                          base_lr=args.lr, amp=True),
         run=RunConfig(log_path=args.log_path, seed=0, save_freq=1000,
                       ckpt_freq=1000, print_freq=1000),
     )
