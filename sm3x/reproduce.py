@@ -80,7 +80,11 @@ def evaluate(pretrain_path, data_path, arch="resnet50", mlc_proj_dim=512,
 
 
 def compare_csv(ours: str, reference: str, tolerance: float = 0.2):
-    """Cell-by-cell diff; returns (n_bad, report lines)."""
+    """Cell-by-cell diff; returns (n_bad, report lines).
+
+    Cells are matched by COLUMN NAME, not position, and a column present
+    in only one file is a failure — a reordered or truncated CSV must
+    not pass the quality lock."""
     import csv
 
     def read(path):
@@ -94,12 +98,25 @@ def compare_csv(ours: str, reference: str, tolerance: float = 0.2):
     h2, t2 = read(reference)
     report = []
     n_bad = 0
+    for name in h2:
+        if name not in h1:
+            report.append(f"MISSING column {name}")
+            n_bad += 1
+    for name in h1:
+        if name not in h2:
+            report.append(f"EXTRA column {name}")
+            n_bad += 1
+    col_of = {name: i for i, name in enumerate(h1)}
     for metric in t2:
         if metric not in t1:
             report.append(f"MISSING metric row {metric}")
             n_bad += 1
             continue
-        for name, a, b in zip(h2, t1[metric], t2[metric]):
+        for j, name in enumerate(h2):
+            if name not in col_of:
+                continue  # already reported as MISSING column
+            a = t1[metric][col_of[name]]
+            b = t2[metric][j]
             if abs(a - b) > tolerance:
                 report.append(f"{metric}/{name}: ours {a:.3f} vs ref {b:.3f} "
                               f"(|d|={abs(a - b):.3f})")

@@ -213,6 +213,8 @@ class CheckpointableTrainer:
     def finish_checkpoints(self):
         if self._orbax is not None:
             self._orbax.wait()
+        # the epoch loop is over; later phases no longer poll the flag
+        self.uninstall_preemption_handler()
 
     def resume_from_orbax(self, directory=None) -> bool:
         """Restore the latest orbax step into the live state (from this
@@ -356,14 +358,38 @@ class CheckpointableTrainer:
             self._preempt_signal = signum
             signal.signal(signum, signal.SIG_DFL)
 
-        for sig in (signal.SIGTERM, signal.SIGINT):
-            signal.signal(sig, _handler)
+        self._orig_handlers = {
+            sig: signal.signal(sig, _handler)
+            for sig in (signal.SIGTERM, signal.SIGINT)}
+
+    def uninstall_preemption_handler(self):
+        """Restore the pre-install signal dispositions once the epoch
+        loop ends — otherwise a SIGTERM/Ctrl-C during post-fit phases
+        (linear probe, results writing) would be swallowed: the handler
+        only sets a flag nothing polls anymore."""
+        import signal
+
+        for sig, orig in getattr(self, "_orig_handlers", {}).items():
+            signal.signal(sig, orig)
+        self._orig_handlers = {}
 
     def preemption_break(self, epoch: int) -> bool:
         """Poll at each epoch boundary: if a preemption signal arrived,
         write the rolling checkpoint NOW (ignoring ckpt_freq), flush any
-        async orbax save, and tell the caller to leave the epoch loop."""
+        async orbax save, and tell the caller to leave the epoch loop.
+
+        Multi-host runs agree first: if ANY process caught a signal,
+        every process checkpoints and breaks — a lone breaker would
+        leave the others hanging in the next epoch's collectives."""
         signum = getattr(self, "_preempt_signal", None)
+        if getattr(self, "_orig_handlers", None) and jax.process_count() > 1:
+            import numpy as np
+            from jax.experimental import multihost_utils
+
+            flags = np.asarray(multihost_utils.process_allgather(
+                np.int32(0 if signum is None else signum)))
+            if signum is None and flags.any():
+                signum = int(flags[flags != 0][0])  # a peer's signal
         if signum is None:
             return False
         import os

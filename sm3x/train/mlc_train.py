@@ -200,7 +200,12 @@ class MLCTrainer(common.CheckpointableTrainer):
             sa, stats = self.embed_step(
                 self.state.params, stats, db["derm"], db["derm_hw"],
                 db["clinic"], db["clinic_hw"], rng)
-            bank[:, batch.index] = np.asarray(sa)[:, :]
+            # host_gather, not np.asarray: on multi-host runs the embed
+            # output is batch-sharded across processes and each host only
+            # holds its addressable rows
+            from sm3x.parallel import host_gather
+
+            bank[:, batch.index] = host_gather(sa)
         self.state = self.state.replace(batch_stats=stats)
         self.bank = replicate(self.mesh, jnp.asarray(bank))
         self.logger.info("Initializion of the memory banks done.")

@@ -51,3 +51,13 @@ def force_cpu_mesh(n_devices: int = 8):
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def free_port() -> int:
+    """An OS-assigned free TCP port for multi-process rendezvous tests
+    (shared by tests/test_multihost.py and tests/test_cli_multihost.py)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]

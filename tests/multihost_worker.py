@@ -79,6 +79,18 @@ def main():
         assert full.shape == x.shape, full.shape
         assert (full == x).all()
         print(f"GATHER {float(full.sum()):.6f}", flush=True)
+
+        # the MLC init_memory layout: (H, B, D) sharded on dim 1 (the
+        # embed output's batch axis) — host_gather must rebuild the full
+        # bank rows on every process (sm3x/train/mlc_train.py)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sa = np.arange(2 * n * 3, dtype=np.float32).reshape(2, n, 3)
+        arr2 = jax.device_put(sa, NamedSharding(mesh, P(None, "data")))
+        full2 = host_gather(arr2)
+        assert full2.shape == sa.shape, full2.shape
+        assert (full2 == sa).all()
+        print(f"BANK {float(full2.sum()):.6f}", flush=True)
         return
 
     if mode == "ssl":

@@ -7,19 +7,14 @@ process_count 2), cross-process grad psum + global-batch BN, per-rank log
 dirs. Slow-gated: two concurrent compiles on shared CPUs."""
 
 import os
-import socket
 import subprocess
 import sys
 
 import pytest
 
+from _backend import free_port as _free_port
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
 
 
 @pytest.mark.slow

@@ -10,21 +10,16 @@ multi-host code path is validated end-to-end without pod hardware.
 
 import math
 import os
-import socket
 import subprocess
 import sys
 
 import pytest
 
+from _backend import free_port as _free_port
+
 WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "multihost_worker.py")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
 
 
 def _run_workers(nprocs: int, mode: str, timeout: float):
@@ -68,6 +63,8 @@ def test_two_process_allreduce():
     for out in outs:
         assert _value(out, "RESULT") == expected
         assert _value(out, "GATHER") == expected
+        # dim-1-sharded (H, B, D) gather — the MLC memory-bank fill
+        assert _value(out, "BANK") == float(sum(range(2 * n * 3)))
 
 
 @pytest.mark.slow

@@ -60,6 +60,9 @@ def test_sigterm_checkpoints_and_breaks(tiny):
     assert t._preempt_signal == signal.SIGTERM
     roll = os.path.join(cfg.run.log_path, "checkpoint.msgpack")
     assert os.path.isfile(roll), "preemption must force the rolling save"
+    # fit() restored the pre-install dispositions (finish_checkpoints):
+    # post-fit phases must not swallow SIGTERM/Ctrl-C into a dead flag
+    assert not t._orig_handlers
 
     t2 = SSLTrainer(cfg)
     assert t2.resume(roll)

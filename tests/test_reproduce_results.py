@@ -41,6 +41,36 @@ def test_compare_csv_flags_differences(tmp_path):
     assert any("vs ref" in r for r in report)
 
 
+def test_compare_csv_aligns_by_column_name(tmp_path):
+    """Cells match by column NAME: a reordered copy of the same data
+    still passes, and a dropped column fails instead of zip-truncating
+    silently."""
+    import csv
+
+    from reproduce_results import compare_csv
+
+    a = os.path.join(tmp_path, "a.csv")
+    _make_csv(a, np.random.default_rng(0))
+    with open(a) as f:
+        rows = list(csv.reader(f))
+
+    # reorder: move the first value column to the end, in every row
+    shuffled = os.path.join(tmp_path, "shuffled.csv")
+    with open(shuffled, "w", newline="") as f:
+        csv.writer(f).writerows(
+            [[r[0]] + r[2:] + [r[1]] for r in rows])
+    n_bad, report = compare_csv(shuffled, a, tolerance=0.0)
+    assert n_bad == 0, report
+
+    # truncate: drop the last column — must FAIL, not silently pass
+    short = os.path.join(tmp_path, "short.csv")
+    with open(short, "w", newline="") as f:
+        csv.writer(f).writerows([r[:-1] for r in rows])
+    n_bad, report = compare_csv(short, a, tolerance=0.0)
+    assert n_bad > 0
+    assert any("MISSING column" in r for r in report)
+
+
 def test_compare_against_released_reference_layout(tmp_path):
     """Our emitter's header matches the released CSVs' header exactly."""
     ref = "/root/reference/linear_results.csv"
