@@ -85,11 +85,17 @@ class ProcessShardedData:
                     sharding, np.ascontiguousarray(store_rows),
                     (batch_size, *item_shape))
 
-            derm = mk(host.derm.canvases[lsel], host.derm.canvases.shape[1:])
-            derm_hw = mk(host.derm.valid_hw[lsel], (2,))
-            clinic = mk(host.clinic.canvases[lsel],
-                        host.clinic.canvases.shape[1:])
-            clinic_hw = mk(host.clinic.valid_hw[lsel], (2,))
+            if hasattr(host, "decode_rows"):
+                # streaming (--no-cache-images): decode ONLY this
+                # process's rows just-in-time
+                d, dh, c, ch = host.decode_rows(lsel)
+            else:  # canvas-cached: gather from the decode-once stores
+                d, dh = host.derm.canvases[lsel], host.derm.valid_hw[lsel]
+                c, ch = host.clinic.canvases[lsel], host.clinic.valid_hw[lsel]
+            derm = mk(d, d.shape[1:])
+            derm_hw = mk(dh, (2,))
+            clinic = mk(c, c.shape[1:])
+            clinic_hw = mk(ch, (2,))
             return Batch(
                 derm=derm, derm_hw=derm_hw, clinic=clinic,
                 clinic_hw=clinic_hw, label=self.labels[sel],

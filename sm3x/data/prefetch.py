@@ -152,12 +152,12 @@ def wrap_for_device(data, mesh, hbm_budget_bytes: int | None = None,
         raise ValueError(f"unknown device-feed strategy {strategy!r} "
                          "(auto|resident|prefetch|host)")
     if (strategy == "auto" and jax.process_count() > 1
-            and isinstance(data, PairedImageData)):
-        # multi-host default: each process assembles only the batch rows
-        # its addressable devices own (sm3x.data.multihost); the
-        # single-host strategies would make every host gather the full
-        # global batch (they still work if forced — device_put only
-        # transfers addressable shards)
+            and isinstance(data, (PairedImageData, StreamingPairedData))):
+        # multi-host default: each process assembles (and, streaming,
+        # decodes) only the batch rows its addressable devices own
+        # (sm3x.data.multihost); the single-host strategies would make
+        # every host gather/decode the full global batch (they still work
+        # if forced — device_put only transfers addressable shards)
         from sm3x.data.multihost import ProcessShardedData
 
         return ProcessShardedData(data, mesh, depth=depth)

@@ -74,14 +74,23 @@ class StreamingPairedData:
     def steps_per_epoch(self, batch_size: int) -> int:
         return (self.n + batch_size - 1) // batch_size
 
-    def _decode_batch(self, sel: np.ndarray, mask: np.ndarray) -> Batch:
-        k = len(sel)
+    def decode_rows(self, sel) -> tuple:
+        """Decode ONLY the given rows -> (derm, derm_hw, clinic,
+        clinic_hw). The multi-host feed (sm3x.data.multihost) calls this
+        with each process's addressable rows, so per-host decode work
+        shrinks with the host count instead of duplicating the global
+        batch."""
         derm, derm_hw = decode_canvas_batch(
             [self.derm_paths[i] for i in sel], self.cache_size,
             self.crop_amount, self.workers)
         clinic, clinic_hw = decode_canvas_batch(
             [self.clinic_paths[i] for i in sel], self.cache_size,
             self.crop_amount, self.workers)
+        return derm, derm_hw, clinic, clinic_hw
+
+    def _decode_batch(self, sel: np.ndarray, mask: np.ndarray) -> Batch:
+        k = len(sel)
+        derm, derm_hw, clinic, clinic_hw = self.decode_rows(sel)
         assert len(derm) == k
         return Batch(
             derm=derm, derm_hw=derm_hw, clinic=clinic, clinic_hw=clinic_hw,

@@ -24,6 +24,8 @@ from typing import Sequence
 
 import numpy as np
 
+from sm3x.serve import BucketedPredictor
+
 _MANIFEST = "manifest.json"
 
 
@@ -33,6 +35,7 @@ def export_predictor(model, variables, path: str,
                      mean=(0.7833, 0.6712, 0.6026),
                      std=(0.2139, 0.2472, 0.2571),
                      canvas: int = 320,
+                     crop_amount: int = 25,
                      platforms: Sequence[str] | None = None) -> dict:
     """Export the full eval path (device resize+normalize -> MLC model ->
     per-label softmax) at each batch bucket. Inputs per bucket b:
@@ -61,6 +64,8 @@ def export_predictor(model, variables, path: str,
                 for p in preds]
 
     buckets = sorted(set(int(b) for b in buckets))
+    if not buckets:
+        raise ValueError("export needs at least one batch bucket")
     for b in buckets:
         args = (
             jax.ShapeDtypeStruct((b, canvas, canvas, 3), jnp.uint8),
@@ -75,6 +80,7 @@ def export_predictor(model, variables, path: str,
         "buckets": buckets,
         "image_size": int(image_size),
         "canvas": int(canvas),
+        "crop_amount": int(crop_amount),
         "mean": list(mean),
         "std": list(std),
         "num_classes": list(NUM_CLASSES),
@@ -85,10 +91,10 @@ def export_predictor(model, variables, path: str,
     return manifest
 
 
-class ExportedPredictor:
+class ExportedPredictor(BucketedPredictor):
     """Serving wrapper over an exported artifact — the deserialized
     programs stand in for model+weights (no sm3x model code, no
-    checkpoint, no tracing). Same uint8-canvas request surface as
+    checkpoint, no tracing). Shares the bucketed request surface with
     sm3x.serve.Predictor, so it drops into the HTTP server unchanged."""
 
     def __init__(self, path: str):
@@ -96,60 +102,23 @@ class ExportedPredictor:
 
         with open(os.path.join(path, _MANIFEST)) as f:
             self.manifest = json.load(f)
-        self.buckets = list(self.manifest["buckets"])
+        self.buckets = sorted(self.manifest["buckets"])
         self.canvas = int(self.manifest["canvas"])
+        # pre-crop artifacts (no crop_amount key) predate the border-crop
+        # preprocessing fix; apply the training pipeline's default
+        self.crop_amount = int(self.manifest.get("crop_amount", 25))
+        self.num_classes = tuple(self.manifest["num_classes"])
         self._fns = {}
         for b in self.buckets:
             with open(os.path.join(path, f"fwd_b{b}.stablehlo"), "rb") as f:
                 self._fns[b] = jexport.deserialize(f.read())
 
-    def _bucket(self, n: int) -> int:
-        for b in self.buckets:
-            if b >= n:
-                return b
-        return self.buckets[-1]
-
-    def _canvases(self, images):
-        from sm3x.data.pipeline import letterbox
-
-        n = len(images)
-        canv = np.zeros((n, self.canvas, self.canvas, 3), np.uint8)
-        hw = np.zeros((n, 2), np.int32)
-        for i, img in enumerate(images):
-            canv[i], (h, w) = letterbox(np.asarray(img)[:, :, :3], self.canvas)
-            hw[i] = (h, w)
-        return canv, hw
-
-    def predict(self, derm_images, clinic_images):
-        """Lists of uint8 RGB arrays -> list of 8 (B, C_i) probability
-        arrays (padding trimmed; oversize requests chunked through the
-        largest bucket)."""
+    def _call(self, b, derm, derm_hw, clinic, clinic_hw):
         import jax.numpy as jnp
 
-        assert len(derm_images) == len(clinic_images)
-        n = len(derm_images)
-        if n == 0:
-            return [np.zeros((0, c), np.float32)
-                    for c in self.manifest["num_classes"]]
-        b = self._bucket(n)
-        if n > b:
-            outs = None
-            for s in range(0, n, b):
-                part = self.predict(derm_images[s:s + b],
-                                    clinic_images[s:s + b])
-                outs = part if outs is None else [
-                    np.concatenate([a, c]) for a, c in zip(outs, part)]
-            return outs
-        dc, dhw = self._canvases(derm_images)
-        cc, chw = self._canvases(clinic_images)
-
-        def pad(x):
-            reps = [(0, b - n)] + [(0, 0)] * (x.ndim - 1)
-            return np.pad(x, reps, mode="edge") if n < b else x
-
-        preds = self._fns[b].call(jnp.asarray(pad(dc)), jnp.asarray(pad(dhw)),
-                                  jnp.asarray(pad(cc)), jnp.asarray(pad(chw)))
-        return [np.asarray(p)[:n] for p in preds]
+        return self._fns[b].call(
+            jnp.asarray(derm), jnp.asarray(derm_hw),
+            jnp.asarray(clinic), jnp.asarray(clinic_hw))
 
 
 def main():
@@ -165,6 +134,10 @@ def main():
     p.add_argument("-a", "--arch", type=str, default="resnet50")
     p.add_argument("--test-sz", type=int, default=224)
     p.add_argument("--canvas", type=int, default=320)
+    p.add_argument("--crop-amount", type=int, default=25,
+                   help="black-border crop the serving wrapper applies to "
+                        "request images before letterbox (recorded in the "
+                        "manifest; 0 disables)")
     p.add_argument("--buckets", nargs="*", type=int, default=[1, 8, 32])
     p.add_argument("--mean", nargs=3, type=float,
                    default=[0.7833, 0.6712, 0.6026])
@@ -184,7 +157,8 @@ def main():
     manifest = export_predictor(
         model, variables, args.out, buckets=args.buckets,
         image_size=args.test_sz, mean=args.mean, std=args.std,
-        canvas=args.canvas, platforms=args.platforms)
+        canvas=args.canvas, crop_amount=args.crop_amount,
+        platforms=args.platforms)
     size = sum(
         os.path.getsize(os.path.join(args.out, f))
         for f in os.listdir(args.out))

@@ -109,10 +109,18 @@ class Baseline(nn.Module):
                 MLPHead(c, variant=self.mlp_variant) for c in self.num_classes
             ]
 
-    def __call__(self, derm_imgs, clinic_imgs, train: bool = False):
+    def __call__(self, derm_imgs, clinic_imgs, train: bool = False,
+                 stop_backbone_grad: bool = False):
         d = self.derm_backbone(derm_imgs, train)
         c = self.clinic_backbone(clinic_imgs, train)
         feats = jnp.concatenate([d, c], axis=1)
+        if stop_backbone_grad:
+            # frozen-backbone policies (--finetune fc): cut the gradient
+            # here so XLA prunes the two ResNet backward passes entirely —
+            # the optimizer mask alone only discards the computed grads
+            import jax
+
+            feats = jax.lax.stop_gradient(feats)
         if self.mlp_variant is None:
             return self.classifier(feats)
         return [h(feats, train) for h in self.classifier]

@@ -67,6 +67,10 @@ class _Batcher:
         self.max_wait = max_wait_ms / 1e3
         self.q: queue.Queue = queue.Queue()
         self._stopped = False
+        # guards the stopped-check + enqueue pair: without it a predict()
+        # could pass the check, lose the CPU, and enqueue AFTER stop()
+        # drained the queue — stranding its handler on done.wait() forever
+        self._qlock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -78,11 +82,14 @@ class _Batcher:
         of the affected batch (the tradeoff of coalescing); each caller
         gets a FRESH exception so concurrent re-raises don't share a
         traceback."""
-        if self._stopped:
-            raise RuntimeError("batched dispatch failed: server stopping")
         done = threading.Event()
         slot: dict = {}
-        self.q.put((derm, clinic, done, slot))
+        with self._qlock:
+            if self._stopped:
+                raise RuntimeError("batched dispatch failed: server stopping")
+            # enqueued under the lock -> ordered BEFORE stop()'s sentinel,
+            # so the loop either serves it or _fail_pending releases it
+            self.q.put((derm, clinic, done, slot))
         done.wait()
         if "error" in slot:
             raise RuntimeError(f"batched dispatch failed: {slot['error']}")
@@ -92,8 +99,9 @@ class _Batcher:
         """Reject new requests, let the thread finish its current batch,
         then fail anything that raced the sentinel into the queue — no
         handler thread is left blocked on done.wait() forever."""
-        self._stopped = True
-        self.q.put(self._SENTINEL)
+        with self._qlock:
+            self._stopped = True
+            self.q.put(self._SENTINEL)
         self._thread.join(timeout=30)
         self._fail_pending("server stopped")
 
@@ -266,8 +274,14 @@ def main():
     p.add_argument("--std", nargs=3, type=float,
                    default=[0.2139, 0.2472, 0.2571])
     p.add_argument("--buckets", nargs="*", type=int, default=[1, 8, 32, 128])
-    p.add_argument("--max-batch", type=int, default=32,
-                   help="dynamic-batching coalesce limit")
+    p.add_argument("--crop-amount", type=int, default=25,
+                   help="black-border crop applied to every request image "
+                        "before letterbox (the training pipeline's "
+                        "preprocessing; 0 disables)")
+    p.add_argument("--max-batch", type=int, default=None,
+                   help="dynamic-batching coalesce limit (default: the "
+                        "largest bucket, so every compiled program is "
+                        "reachable)")
     p.add_argument("--max-wait-ms", type=float, default=5.0,
                    help="dynamic-batching window")
     p.add_argument("--no-batching", action="store_true",
@@ -284,7 +298,12 @@ def main():
 
         predictor = Predictor.from_checkpoint(
             args.pretrain_path, arch=args.arch, mean=args.mean, std=args.std,
-            test_sz=args.test_sz, buckets=tuple(args.buckets))
+            test_sz=args.test_sz, buckets=tuple(args.buckets),
+            crop_amount=args.crop_amount)
+    if args.max_batch is None:
+        # coalesce up to the largest warmed bucket — a smaller cap would
+        # leave that bucket's compiled program unreachable
+        args.max_batch = max(args.buckets)
     # warm EVERY bucket: dynamic batching coalesces bursts into the larger
     # buckets, so each one must be compiled before traffic arrives
     for b in sorted(set(args.buckets)):

@@ -74,7 +74,12 @@ class BackboneEvalTrainer(common.CheckpointableTrainer):
         def apply_train(params, batch_stats, d, c, kdrop):
             preds, mut = model.apply(
                 {"params": params, "batch_stats": batch_stats}, d, c,
-                train=backbone_train_mode, mutable=["batch_stats"])
+                train=backbone_train_mode,
+                # fc-policy: cut the feature gradient so XLA prunes the
+                # two frozen ResNet backward passes (mlc_eval does the
+                # same via stop_extractor_grad)
+                stop_backbone_grad=(m.finetune == "fc"),
+                mutable=["batch_stats"])
             return preds, mut["batch_stats"]
 
         def apply_eval(params, batch_stats, d, c):

@@ -179,11 +179,20 @@ class MLCEvalTrainer(common.CheckpointableTrainer):
 
 def _graft(dst: dict, src: dict, logger=None, path: str = ""):
     """Recursively copy matching keys (strict=False load semantics);
-    log what's missing from the checkpoint."""
+    log what's missing from the checkpoint. A dict-vs-leaf structure
+    mismatch fails HERE with the key path — silently grafting an array
+    over a params subtree surfaces later as an opaque apply error."""
     out = dict(dst)
     for k, v in dst.items():
         if k in src:
-            if isinstance(v, dict) and isinstance(src[k], dict):
+            if isinstance(v, dict) != isinstance(src[k], dict):
+                raise ValueError(
+                    f"checkpoint structure mismatch at {path}{k}: model has "
+                    f"{'a subtree' if isinstance(v, dict) else 'a leaf'} but "
+                    f"the checkpoint holds "
+                    f"{'a subtree' if isinstance(src[k], dict) else 'a leaf'}"
+                )
+            if isinstance(v, dict):
                 out[k] = _graft(v, src[k], logger, f"{path}{k}/")
             else:
                 out[k] = jnp.asarray(src[k])

@@ -145,16 +145,23 @@ def export_multilabel_projector(params: dict, stats: dict | None,
     lins, bns = _MLP_LAYOUT[variant]
     heads_p = params["heads"]
     heads_s = (stats or {}).get("heads", {})
-    num_labels = next(iter(heads_p.values()))["kernel"].shape[0]
+    # head count from the first LINEAR: an arbitrary entry may be a BN
+    # (scale/bias, no kernel) in the v1-v3 variants
+    num_labels = heads_p[lins[0][0]]["kernel"].shape[0]
     for name, idx in lins:
         for h in range(num_labels):
             sd[f"{prefix}{h}.{idx}.weight"] = _lin_w(heads_p[name]["kernel"][h])
             if "bias" in heads_p[name]:
                 sd[f"{prefix}{h}.{idx}.bias"] = _np(heads_p[name]["bias"][h])
     for name, idx in bns:
+        # the variant's FINAL BatchNorm is affine=False (reference
+        # projector.py: BatchNorm1d(..., affine=False)); it has no flax
+        # params entry and torch's strict load expects stat-only keys
+        affine = name in heads_p
         for h in range(num_labels):
-            sd[f"{prefix}{h}.{idx}.weight"] = _np(heads_p[name]["scale"][h])
-            sd[f"{prefix}{h}.{idx}.bias"] = _np(heads_p[name]["bias"][h])
+            if affine:
+                sd[f"{prefix}{h}.{idx}.weight"] = _np(heads_p[name]["scale"][h])
+                sd[f"{prefix}{h}.{idx}.bias"] = _np(heads_p[name]["bias"][h])
             sd[f"{prefix}{h}.{idx}.running_mean"] = _np(heads_s[name]["mean"][h])
             sd[f"{prefix}{h}.{idx}.running_var"] = _np(heads_s[name]["var"][h])
             sd[f"{prefix}{h}.{idx}.num_batches_tracked"] = np.zeros((), np.int64)

@@ -107,6 +107,28 @@ def test_http_server_roundtrip(predictor):
         server.stop()
 
 
+def test_serving_applies_training_border_crop(predictor):
+    """Request images get the SAME preprocessing as every training/eval
+    image: the 25px black-border crop before letterbox (train/serve skew
+    otherwise — reference datasets.py:377-379 crops unconditionally)."""
+    img = np.zeros((120, 100, 3), np.uint8)
+    _, hw = predictor._canvases([img])
+    # cropped to 70x50, letterboxed into the 64-canvas
+    assert tuple(hw[0]) == (64, round(50 * 64 / 70))
+    # tiny images (no interior left) are not cropped
+    tiny = np.zeros((40, 40, 3), np.uint8)
+    _, hw = predictor._canvases([tiny])
+    assert tuple(hw[0]) == (40, 40)
+    # crop_amount=0 disables
+    from sm3x.serve import Predictor
+
+    p0 = Predictor(predictor.model, predictor.variables,
+                   mean=(0.5,) * 3, std=(0.25,) * 3, test_sz=48,
+                   buckets=(1,), canvas=64, crop_amount=0)
+    _, hw = p0._canvases([img])
+    assert tuple(hw[0]) == (64, round(100 * 64 / 120))
+
+
 def test_empty_batch_returns_empty(predictor):
     out = predictor.predict([], [])
     assert len(out) == 8 and all(p.shape[0] == 0 for p in out)
