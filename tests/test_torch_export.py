@@ -82,28 +82,31 @@ def test_mlc_strict_load_and_forward_parity(mlc_vars):
                                    rtol=1e-4, atol=1e-4)
 
 
-def test_mlc_projector_v1_roundtrip(tmp_path):
+@pytest.mark.parametrize("variant,final_bn_idx", [("v1", 7), ("v2", 4),
+                                                  ("v3", 1)])
+def test_mlc_projector_bn_variants_roundtrip(tmp_path, variant, final_bn_idx):
     """Projector variants with BN stacks (v1/v2/v3) export too: their
     FINAL BatchNorm is affine=False (reference projector.py), so the
     export must emit stat-only keys for it — no weight/bias, which
     torch's strict load would reject (and whose flax params don't
     exist)."""
-    model = MLCModel(arch="resnet18", proj_dim=32, mlc_proj="v1",
+    model = MLCModel(arch="resnet18", proj_dim=32, mlc_proj=variant,
                      sa_dim_ff=16, use_prototype_bias=True,
                      dtype=jnp.float32)
     d = jnp.zeros((1, 56, 56, 3), jnp.float32)
     v = model.init({"params": jax.random.key(6), "dropout": jax.random.key(7)},
                    d, d)
     sd = export_mlc_model(v["params"], v["batch_stats"], arch="resnet18",
-                          variant="v1")
-    # BNs at Sequential indices 1/4 are affine; index 7 is stat-only
-    assert "projectors.projectors.0.1.weight" in sd
-    assert "projectors.projectors.0.7.running_mean" in sd
-    assert "projectors.projectors.0.7.weight" not in sd
-    path = str(tmp_path / "v1.pth")
+                          variant=variant)
+    # the final BN is stat-only; earlier BNs (v1/v2) are affine
+    if variant != "v3":
+        assert "projectors.projectors.0.1.weight" in sd
+    assert f"projectors.projectors.0.{final_bn_idx}.running_mean" in sd
+    assert f"projectors.projectors.0.{final_bn_idx}.weight" not in sd
+    path = str(tmp_path / f"{variant}.pth")
     save_torch_checkpoint(path, sd)
     rp, rs = convert_mlc_model(load_torch_state_dict(path), arch="resnet18",
-                               variant="v1")
+                               variant=variant)
     _tree_allclose(rp, v["params"])
     _tree_allclose(rs, v["batch_stats"])
 
