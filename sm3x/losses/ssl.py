@@ -41,15 +41,18 @@ def ssl_loss(
     b = b2 // 2
 
     if use_pallas:
-        from sm3x.ops.ntxent_pallas import ntxent_loss_pallas
+        # fused dispatcher: Pallas kernel on TPU, the (numerically
+        # equivalent) XLA composition on other backends — so
+        # --use-pallas-ntxent still runs on the CPU backend
+        from sm3x.ops.ntxent_pallas import ntxent_loss_fused
 
         def nt(z1, z2):
             if groups == 1:
-                return ntxent_loss_pallas(z1, z2, temperature)
+                return ntxent_loss_fused(z1, z2, temperature)
             gb = z1.shape[0] // groups
             losses = [
-                ntxent_loss_pallas(z1[g * gb:(g + 1) * gb],
-                                   z2[g * gb:(g + 1) * gb], temperature)
+                ntxent_loss_fused(z1[g * gb:(g + 1) * gb],
+                                  z2[g * gb:(g + 1) * gb], temperature)
                 for g in range(groups)
             ]
             return jnp.mean(jnp.stack(losses))

@@ -71,7 +71,6 @@ def _sample_rrc_box(rng, h, w, cfg: AugConfig):
     """torchvision RandomResizedCrop.get_params: 10 uniform attempts over
     (area-scale, log-aspect); first attempt that fits wins; otherwise a
     center crop clamped to the valid ratio range. h, w may be traced."""
-    area = (h * w).astype(jnp.float32) if hasattr(h, "dtype") else float(h * w)
     h = jnp.asarray(h, jnp.float32)
     w = jnp.asarray(w, jnp.float32)
     area = h * w

@@ -30,7 +30,8 @@ from sm3x.utils import AverageMeter, ProgressMeter, setup_logger, save_checkpoin
 def make_ssl_train_step(model, style: int, temperature: float, groups: int,
                         mean, std, aug_cfg=SSL_AUG, use_pallas: bool = False,
                         use_pallas_aug: bool = False, mesh=None,
-                        multicrop=None, frozen_bn: bool = False):
+                        multicrop=None, frozen_bn: bool = False,
+                        modality_weights=(1.0, 1.0)):
     """Returns jitted (state, canvases..., rng) -> (state, metrics).
 
     `frozen_bn`: the --bn-stat-freq fast step — forward with eval-mode BN
@@ -118,6 +119,7 @@ def make_ssl_train_step(model, style: int, temperature: float, groups: int,
                 )
                 new_stats = mut["batch_stats"]
             total, parts = ssl_loss(outs, style, temperature, groups,
+                                    modality_weights=modality_weights,
                                     use_pallas=use_pallas,
                                     local_weight=local_weight)
             return total, (new_stats, parts)
@@ -231,6 +233,16 @@ class SSLTrainer(common.CheckpointableTrainer):
                 "--bn-stat-freq applies to the dual-modal SSL step only "
                 "(the trimodal step's dropout views need train-mode "
                 "forward)")
+        if (cfg.data.data_name == "SevenPCSwavDataset"
+                and str(m.arch).startswith("vit")):
+            # the ViT pos_embed is sized for the global resolution
+            # (sm3x/models/vit.py:68); local views at other sizes would
+            # fail with an opaque broadcast error mid-trace
+            raise ValueError(
+                "multi-crop (SevenPCSwavDataset) needs an arch that "
+                "accepts multiple input resolutions; ViT position "
+                f"embeddings are fixed-size — use a ResNet arch, not "
+                f"{m.arch!r}")
         if self.is_trimodal:
             # the BASELINE.json stretch goal: dual images + patient
             # metadata third modality (sm3x/models/trimodal.py)
@@ -326,7 +338,8 @@ class SSLTrainer(common.CheckpointableTrainer):
                 tuple(cfg.data.mean), tuple(cfg.data.std), aug_cfg,
                 use_pallas=m.use_pallas_ntxent,
                 use_pallas_aug=m.use_pallas_augment, mesh=self.mesh,
-                multicrop=multicrop)
+                multicrop=multicrop,
+                modality_weights=tuple(cfg.modality_weights))
         # --bn-stat-freq K>1 (off-recipe): every K-th step refreshes BN
         # batch statistics; the rest run the eval-BN fast step
         self.fast_step = None
@@ -336,7 +349,8 @@ class SSLTrainer(common.CheckpointableTrainer):
                 tuple(cfg.data.mean), tuple(cfg.data.std), aug_cfg,
                 use_pallas=m.use_pallas_ntxent,
                 use_pallas_aug=m.use_pallas_augment, mesh=self.mesh,
-                multicrop=multicrop, frozen_bn=True)
+                multicrop=multicrop, frozen_bn=True,
+                modality_weights=tuple(cfg.modality_weights))
             self.logger.info(
                 f"bn-stat-freq {self.bn_stat_freq}: BN statistics refresh "
                 f"every {self.bn_stat_freq} steps (OFF-RECIPE; running "

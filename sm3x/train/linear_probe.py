@@ -87,10 +87,9 @@ class LinearProbe:
                 preds_all.append([host_gather(p) for p in preds])
                 targets_all.append(batch.label)
                 masks.append(batch.mask)
-            mask = np.concatenate(masks)
-            preds = [np.concatenate([p[i] for p in preds_all])[mask]
-                     for i in range(len(preds_all[0]))]
-            targets = np.concatenate(targets_all)[mask]
+            from sm3x.train.supervised import _concat_masked
+
+            preds, targets = _concat_masked(preds_all, targets_all, masks)
             stats = compute_stage_metrics(preds, targets,
                                           num_classes=self.num_classes)
             stats["loss"] = float(np.mean(losses))

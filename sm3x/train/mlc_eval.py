@@ -195,7 +195,15 @@ def _graft(dst: dict, src: dict, logger=None, path: str = ""):
             if isinstance(v, dict):
                 out[k] = _graft(v, src[k], logger, f"{path}{k}/")
             else:
-                out[k] = jnp.asarray(src[k])
+                leaf = jnp.asarray(src[k])
+                dst_shape = getattr(v, "shape", None)
+                if dst_shape is not None and leaf.shape != dst_shape:
+                    raise ValueError(
+                        f"checkpoint shape mismatch at {path}{k}: model "
+                        f"expects {tuple(dst_shape)} but the checkpoint "
+                        f"holds {tuple(leaf.shape)} — check --mlc-proj-dim/"
+                        f"--sa-dim-ff/--arch match the checkpointed run")
+                out[k] = leaf
         elif logger is not None:
             logger.warning(f"Missing key in checkpoint: {path}{k}")
     return out

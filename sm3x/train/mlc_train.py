@@ -95,14 +95,23 @@ def make_embed_step(model, mean, std, aug_cfg, aug_fn=ssl_augment_batch):
 def cluster_and_update(rng, bank, params, num_classes=tuple(NUM_CLASSES),
                        iters: int = 10):
     """Per-head spherical k-means; write centroids into prototype kernels
-    and return assignments (heads, N) int32."""
+    and return assignments (heads, N) int32.
+
+    Only the 8 tiny (dim, C_i) prototype kernels are replaced — the rest
+    of the tree (two ResNet-50s, ~200 MB) passes through untouched, so
+    callers can hand in the live device tree without any device->host
+    round-trip. Each new kernel inherits the old kernel's placement."""
     n_heads = bank.shape[0]
     assignments = []
     protos = dict(params["head"]["prototypes"])
     for i, k in enumerate(num_classes):
         cent, a = spherical_kmeans(
             jax.random.fold_in(rng, i), bank[i % n_heads], k, iters)
-        protos[f"proto{i}"] = dict(protos[f"proto{i}"], kernel=cent.T)
+        old = protos[f"proto{i}"]["kernel"]
+        kernel = cent.T.astype(old.dtype)
+        if hasattr(old, "sharding"):
+            kernel = jax.device_put(kernel, old.sharding)
+        protos[f"proto{i}"] = dict(protos[f"proto{i}"], kernel=kernel)
         assignments.append(a)
     head = dict(params["head"], prototypes=protos)
     params = dict(params, head=head)
@@ -213,14 +222,14 @@ class MLCTrainer(common.CheckpointableTrainer):
     def train_epoch(self, data, epoch: int) -> dict:
         cfg = self.cfg
         # epoch-boundary clustering (mlc_train.py:219-229)
+        # the live device tree goes straight in: cluster_and_update only
+        # swaps the prototype kernels (placed like the old ones), so the
+        # ~200 MB of backbone params never round-trip through the host
         params, assignments = cluster_and_update(
             prng.fold_in_axis(jax.random.fold_in(self.rng, epoch), "kmeans"),
-            self.bank, jax.device_get(self.state.params),
+            self.bank, self.state.params,
             tuple(cfg.model.num_classes), cfg.kmeans_iters)
-        from sm3x.core.mesh import shard_label_heads
-
-        self.state = self.state.replace(params=shard_label_heads(
-            self.mesh, params, cfg.model.num_labels))
+        self.state = self.state.replace(params=params)
         assignments = replicate(self.mesh, assignments)
         self.logger.info(f"Clustering for epoch {epoch} done.")
 

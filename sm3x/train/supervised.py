@@ -67,6 +67,7 @@ def run_train_epoch(trainer, data, epoch: int) -> dict:
     all_preds: List[List[np.ndarray]] = []
     all_targets = []
     all_masks = []
+    pending = []
     for it, batch in enumerate(
             data.batches(cfg.optim.batch_size, epoch, cfg.run.seed)):
         rng = prng.step_rng(trainer.rng, epoch, it)
@@ -77,12 +78,20 @@ def run_train_epoch(trainer, data, epoch: int) -> dict:
         trainer.state, loss, preds = trainer.train_step(
             trainer.state, db["derm"], db["derm_hw"],
             db["clinic"], db["clinic_hw"], db["label"], rng)
-        losses.update(float(loss), batch.derm.shape[0])
-        # host_gather: multi-host processes only hold their addressable
-        # prediction shards; metrics run on the full set on every host
-        all_preds.append([host_gather(p) for p in preds])
+        # defer every device->host readback to epoch end: a float()/gather
+        # per step blocks the dispatch pipeline on a device round-trip
+        # (dominant on a tunneled TPU), and on multi-host each gather is
+        # a collective — batching them after the last step keeps the
+        # steps free-running (same discipline as the SSL/MLC loops)
+        pending.append((loss, batch.derm.shape[0]))
+        all_preds.append(preds)
         all_targets.append(batch.label)
         all_masks.append(batch.mask)
+    for loss, n in pending:
+        losses.update(float(loss), n)
+    # host_gather: multi-host processes only hold their addressable
+    # prediction shards; metrics run on the full set on every host
+    all_preds = [[host_gather(p) for p in preds] for preds in all_preds]
     stats = _epoch_metrics(all_preds, all_targets, all_masks)
     stats["loss"] = losses.avg
     return stats
@@ -101,9 +110,10 @@ def run_eval_epoch(trainer, data, epoch: int = 0) -> dict:
         preds = trainer.eval_step(
             trainer.state.params, trainer.state.batch_stats,
             db["derm"], db["derm_hw"], db["clinic"], db["clinic_hw"])
-        all_preds.append([host_gather(p) for p in preds])
+        all_preds.append(preds)  # device arrays; gathered after the loop
         all_targets.append(batch.label)
         all_masks.append(batch.mask)
+    all_preds = [[host_gather(p) for p in preds] for preds in all_preds]
     return _epoch_metrics(all_preds, all_targets, all_masks)
 
 
@@ -120,9 +130,10 @@ def collect_eval_logits(trainer, data):
         preds = trainer.eval_step(
             trainer.state.params, trainer.state.batch_stats,
             db["derm"], db["derm_hw"], db["clinic"], db["clinic_hw"])
-        all_preds.append([host_gather(p) for p in preds])
+        all_preds.append(preds)  # device arrays; gathered after the loop
         all_targets.append(batch.label)
         all_masks.append(batch.mask)
+    all_preds = [[host_gather(p) for p in preds] for preds in all_preds]
     return _concat_masked(all_preds, all_targets, all_masks)
 
 

@@ -53,6 +53,42 @@ def test_ssl_loss_style_weighting(rng_np, style):
     np.testing.assert_allclose(float(total), derm + clinic + cross, rtol=1e-4)
 
 
+def test_ssl_loss_pallas_flag_runs_on_cpu(rng_np):
+    """--use-pallas-ntxent must not crash off-TPU: the fused dispatcher
+    falls back to the XLA composition on the CPU backend (regression:
+    ssl_loss used to call the raw Pallas kernel unconditionally)."""
+    outs = {k: jax.tree.map(jnp.asarray, v)
+            for k, v in _fake_outputs(rng_np).items()}
+    t_xla, _ = ssl_loss(outs, 0, temperature=0.1, groups=2)
+    t_pallas, _ = ssl_loss(outs, 0, temperature=0.1, groups=2,
+                           use_pallas=True)
+    np.testing.assert_allclose(float(t_pallas), float(t_xla), rtol=1e-6)
+
+
+def test_ssl_loss_modality_weights(rng_np):
+    outs = {k: jax.tree.map(jnp.asarray, v)
+            for k, v in _fake_outputs(rng_np).items()}
+    total, parts = ssl_loss(outs, 0, temperature=0.1,
+                            modality_weights=(2.0, 0.5))
+    expect = (2.0 * float(parts["derm"]) + 0.5 * float(parts["clinic"])
+              + float(parts["cross"]))
+    np.testing.assert_allclose(float(total), expect, rtol=1e-5)
+
+
+def test_ssl_trainer_rejects_vit_multicrop(tmp_path):
+    """ViT pos_embed is fixed-size; multi-crop local views must be
+    rejected upfront, not crash mid-trace."""
+    from sm3x.core.config import SSLConfig
+    from sm3x.train.backbone_train import SSLTrainer
+
+    cfg = SSLConfig()
+    cfg.model.arch = "vit_t16"
+    cfg.data.data_name = "SevenPCSwavDataset"
+    cfg.run.log_path = str(tmp_path)
+    with pytest.raises(ValueError, match="multi-crop"):
+        SSLTrainer(cfg)
+
+
 @pytest.mark.parametrize("fusion,n_pairs", [
     ("concat", 1), ("concat_cross", 1), ("concat_both", 2), ("add", 1),
 ])

@@ -171,3 +171,57 @@ def test_mlc_trainer_with_pallas_augment(fake_data, tmp_path):
     assert np.isfinite(np.asarray(trainer.bank)).all()
     stat = trainer.train_epoch(train, epoch=0)
     assert np.isfinite(stat["loss"])
+
+
+def test_cluster_and_update_touches_only_prototypes():
+    """The epoch-boundary clustering must not round-trip the backbone
+    tree: untouched subtrees pass through by reference, only the
+    prototype kernels are replaced (regression: a full device_get/
+    shard_label_heads cycle moved ~200 MB per epoch)."""
+    from sm3x.train.mlc_train import cluster_and_update
+
+    rng = jax.random.key(0)
+    num_classes = (3, 2)
+    dim, n = 8, 16
+    bank = jax.random.normal(jax.random.key(1), (2, n, dim))
+    bank = bank / jnp.linalg.norm(bank, axis=-1, keepdims=True)
+    extractor = {"conv": {"kernel": jnp.ones((3, 3))}}
+    params = {
+        "extractor": extractor,
+        "head": {
+            "prototypes": {
+                "proto0": {"kernel": jnp.zeros((dim, 3))},
+                "proto1": {"kernel": jnp.zeros((dim, 2))},
+            },
+            "sa": {"w": jnp.ones((4,))},
+        },
+    }
+    out, assignments = cluster_and_update(rng, bank, params,
+                                          num_classes, iters=2)
+    # untouched subtrees are the SAME objects — nothing was copied
+    assert out["extractor"] is extractor
+    assert out["head"]["sa"] is params["head"]["sa"]
+    # prototype kernels carry the centroids (unit-norm columns)
+    for i, k in enumerate(num_classes):
+        kern = out["head"]["prototypes"][f"proto{i}"]["kernel"]
+        assert kern.shape == (dim, k)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(kern), axis=0), 1.0, rtol=1e-5)
+    assert assignments.shape == (2, n)
+    assert int(assignments.min()) >= 0
+
+
+def test_graft_rejects_shape_mismatch():
+    """_graft must fail with the key path on wrong-shaped checkpoint
+    leaves (e.g. a 512-dim stage-2 ckpt into a --mlc-proj-dim 256
+    model), not let them explode later inside apply."""
+    from sm3x.train.mlc_eval import _graft
+
+    dst = {"head": {"proj": {"kernel": jnp.zeros((256, 8))}}}
+    src = {"head": {"proj": {"kernel": jnp.zeros((512, 8))}}}
+    with pytest.raises(ValueError, match="head/proj/kernel"):
+        _graft(dst, src)
+    # matching shapes still graft
+    ok = _graft(dst, {"head": {"proj": {"kernel": jnp.ones((256, 8))}}})
+    np.testing.assert_allclose(
+        np.asarray(ok["head"]["proj"]["kernel"]), 1.0)
