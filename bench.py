@@ -25,6 +25,43 @@ import numpy as np
 
 BASELINE_IMG_PER_SEC_PER_CHIP = 1000.0
 
+# v5e ("TPU v5 lite") peak dense bf16 matmul throughput, the MFU
+# denominator (public spec: 197 TFLOP/s/chip; our own hoist-proof 8192^3
+# matmul measures 157.5 = 80% of it, BENCH.md round 2).
+CHIP_PEAK_TFLOPS = 197.0
+
+# Analytic fallback per-IMAGE forward FLOPs when XLA cost analysis is
+# unavailable: ResNet-50 @224^2 = 4.09 GMACs = 8.2 GFLOPs fwd (2 flops
+# per MAC); full train step ~= 3x fwd (fwd + 2x-cost bwd). The primary
+# source is compiled.cost_analysis()["flops"] on the ACTUAL step HLO
+# (includes aug + NT-Xent + AdamW), reported per augmented image.
+ANALYTIC_STEP_FLOPS_PER_IMAGE = {"resnet50": 3 * 2 * 4.09e9,
+                                 "vit_b16": 3 * 2 * 17.6e9}
+
+
+def _step_flops(trainer, db, batch: int) -> tuple:
+    """(flops/step, source) from XLA's cost analysis of the compiled
+    train step; analytic estimate if the platform doesn't report it."""
+    try:
+        from sm3x.core import prng
+
+        rng = prng.step_rng(trainer.rng, 0, 0)
+        lowered = trainer.train_step.lower(
+            trainer.state, db["derm"], db["derm_hw"],
+            db["clinic"], db["clinic_hw"], rng)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+            cost = cost[0]
+        flops = float(cost["flops"])
+        if flops > 0:
+            return flops, "xla_cost_analysis"
+    except Exception:
+        pass
+    arch = trainer.cfg.model.arch
+    per_img = ANALYTIC_STEP_FLOPS_PER_IMAGE.get(
+        arch, ANALYTIC_STEP_FLOPS_PER_IMAGE["resnet50"])
+    return per_img * 4 * batch, "analytic_estimate"
+
 
 def main():
     import jax
@@ -86,11 +123,19 @@ def main():
     # 4 augmented 224x224 encoder images per paired sample per step
     images = 4 * batch * steps
     img_per_sec_chip = images / dt / n_chips
+    step_ms = dt / steps * 1000.0
+    step_flops, flop_source = _step_flops(trainer, db, batch)
+    tflops = step_flops / (dt / steps) / 1e12 / n_chips
     print(json.dumps({
         "metric": "ssl_pretrain_images_per_sec_per_chip",
         "value": round(img_per_sec_chip, 2),
         "unit": f"images/sec/chip (224x224 through {arch} fwd+bwd, incl. on-device aug)",
         "vs_baseline": round(img_per_sec_chip / BASELINE_IMG_PER_SEC_PER_CHIP, 3),
+        "step_ms": round(step_ms, 2),
+        "tflops": round(tflops, 2),
+        "mfu_pct": round(100.0 * tflops / CHIP_PEAK_TFLOPS, 2),
+        "flops_per_step": step_flops,
+        "flop_source": flop_source,
     }))
 
 

@@ -171,7 +171,7 @@ def mean_average_precision(preds_list: Sequence[np.ndarray],
                            num_classes: Sequence[int] = tuple(NUM_CLASSES),
                            cls_weights: Sequence[int] = tuple(CLS_WEIGHTS),
                            classes_name: Sequence[str] = tuple(CLASSES_NAME),
-                           ) -> Dict[str, float]:
+                           probabilities=None) -> Dict[str, float]:
     """mAP over the 8 labels (BASELINE.json names 'mAP parity'; the
     released CSVs carry Acc/AUC/Recall/Spec/Prec, so this is reported
     separately). Per label: macro AP over its classes plus the
@@ -180,7 +180,8 @@ def mean_average_precision(preds_list: Sequence[np.ndarray],
     macro, sel = [], []
     for i, cname in enumerate(classes_name):
         ap = multiclass_average_precision(preds_list[i], targets[:, i],
-                                          num_classes[i])
+                                          num_classes[i],
+                                          probabilities=probabilities)
         stats[f"mAP_{cname}"] = float(ap.mean())
         macro.append(float(ap.mean()))
         sel.append(float(ap[min(cls_weights[i], num_classes[i] - 1)]))
@@ -202,17 +203,24 @@ def compute_stage_metrics(preds_list: Sequence[np.ndarray],
                           num_classes: Sequence[int] = tuple(NUM_CLASSES),
                           cls_weights: Sequence[int] = tuple(CLS_WEIGHTS),
                           classes_name: Sequence[str] = tuple(CLASSES_NAME),
-                          ) -> Dict[str, float]:
+                          probabilities=None) -> Dict[str, float]:
     """The update_meters computation (misc.py:299-327): per label, compute
     the per-class metric and select index cls_weights[label]; AVG = mean
-    over the labels. Returns {"AUC_DIAG": ..., "AUC_AVG": ..., ...}."""
+    over the labels. Returns {"AUC_DIAG": ..., "AUC_AVG": ..., ...}.
+
+    `probabilities` states the input kind for the score-based metrics
+    (AUC); trainer eval loops hold logits and pass False, the
+    reproduce/parity paths keep the torchmetrics heuristic (None)."""
     stats: Dict[str, float] = {}
     for m in METRICS_NAME:
         fn = METRIC_FNS[m]
+        kw = ({"probabilities": probabilities}
+              if fn is multiclass_auroc else {})
         vals = []
         for i, cname in enumerate(classes_name):
             sel = min(cls_weights[i], num_classes[i] - 1)
-            v = float(fn(preds_list[i], targets[:, i], num_classes[i])[sel])
+            v = float(fn(preds_list[i], targets[:, i],
+                         num_classes[i], **kw)[sel])
             stats[f"{m}_{cname}"] = v
             vals.append(v)
         stats[f"{m}_AVG"] = float(np.mean(vals))
@@ -228,9 +236,11 @@ _CSV_LABEL_ORDER = ["BWV", "DaG", "PIG", "PN", "RS", "STR", "VS", "DIAG"]
 _CSV_METRIC_ROWS = ["Acc", "AUC", "Recall", "Spec", "Prec"]
 
 
-def results_table(preds_list: Sequence[np.ndarray], targets: np.ndarray):
+def results_table(preds_list: Sequence[np.ndarray], targets: np.ndarray,
+                  probabilities=None):
     """Full per-class results in the released-CSV layout. Returns
-    (header, {metric_row: [values...]}) with values in percent."""
+    (header, {metric_row: [values...]}) with values in percent.
+    `probabilities` as in compute_stage_metrics (affects AUC only)."""
     fns = dict(METRIC_FNS, Acc=multiclass_accuracy)
     label_idx = {c: i for i, c in enumerate(CLASSES_NAME)}
 
@@ -240,7 +250,9 @@ def results_table(preds_list: Sequence[np.ndarray], targets: np.ndarray):
     diag_cols = {m: [] for m in _CSV_METRIC_ROWS}
     for cname in _CSV_LABEL_ORDER:
         i = label_idx[cname]
-        vals = {m: fns[m](preds_list[i], targets[:, i], NUM_CLASSES[i]) * 100.0
+        vals = {m: fns[m](preds_list[i], targets[:, i], NUM_CLASSES[i],
+                          **({"probabilities": probabilities}
+                             if fns[m] is multiclass_auroc else {})) * 100.0
                 for m in _CSV_METRIC_ROWS}
         for j in range(NUM_CLASSES[i]):
             header.append(f"{cname}-{j + 1}")
@@ -265,8 +277,9 @@ def results_table(preds_list: Sequence[np.ndarray], targets: np.ndarray):
     return header, rows
 
 
-def write_results_csv(path: str, preds_list, targets):
-    header, rows = results_table(preds_list, targets)
+def write_results_csv(path: str, preds_list, targets, probabilities=None):
+    header, rows = results_table(preds_list, targets,
+                                 probabilities=probabilities)
     with open(path, "w") as f:
         f.write("," + ",".join(header) + "\n")
         for m in _CSV_METRIC_ROWS:

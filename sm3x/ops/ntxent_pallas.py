@@ -127,8 +127,21 @@ ntxent_loss_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def ntxent_loss_fused(z1, z2, temperature: float):
-    """Pallas kernel on TPU, XLA fallback elsewhere."""
-    platform = z1.devices().pop().platform if hasattr(z1, "devices") else None
-    if platform == "tpu" or jax.default_backend() == "tpu":
+    """Pallas kernel on TPU, XLA fallback elsewhere.
+
+    The backend decision is static: under `jax.jit` the inputs are Tracers
+    (no `.devices()`), and the SSL train step that consumes this IS jitted
+    (sm3x/train/backbone_train.py). Only inspect the concrete array's
+    placement outside a trace, where an explicitly device_put array may
+    disagree with the process default.
+    """
+    if not isinstance(z1, jax.core.Tracer):
+        devices = getattr(z1, "devices", None)
+        if callable(devices):
+            platform = next(iter(devices())).platform
+            if platform == "tpu":
+                return ntxent_loss_pallas(z1, z2, temperature)
+            return ntxent_loss_xla(z1, z2, temperature)
+    if jax.default_backend() == "tpu":
         return ntxent_loss_pallas(z1, z2, temperature)
     return ntxent_loss_xla(z1, z2, temperature)

@@ -124,6 +124,36 @@ def compare_csv(ours: str, reference: str, tolerance: float = 0.2):
     return n_bad, report
 
 
+def _preflight(args):
+    """Fail fast, naming every missing staged artifact — the quality lock
+    against the released weights (reference README.md:10-12) must be
+    runnable the day `best_linear.pth`/`best_finetune.pth` and the
+    Derm7pt release are staged, so the error message is the staging
+    checklist."""
+    import os
+
+    missing = []
+    if not os.path.exists(args.pretrain_path):
+        missing.append(
+            f"  --pretrain-path {args.pretrain_path}: not found. Stage the "
+            f"released checkpoint (best_linear.pth / best_finetune.pth from "
+            f"the skin-sm3 release, or an sm3x .msgpack) at this path.")
+    meta_csv = os.path.join(args.data_path, "meta.csv")
+    if not os.path.exists(meta_csv):
+        missing.append(
+            f"  --data-path {args.data_path}: {meta_csv} not found. Stage "
+            f"the Derm7pt release here (meta.csv + images/ with the "
+            f"referenced derm/clinic files, plus "
+            f"{{train,valid,test}}_indexes.csv).")
+    if args.compare and not os.path.exists(args.compare):
+        missing.append(
+            f"  --compare {args.compare}: not found. Stage the released "
+            f"linear_results.csv / finetune_results.csv to lock against.")
+    if missing:
+        sys.exit("sm3x-reproduce: missing staged artifacts:\n"
+                 + "\n".join(missing))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--pretrain-path", required=True)
@@ -149,6 +179,8 @@ def main():
     p.add_argument("--std", nargs=3, type=float,
                    default=[0.2139, 0.2472, 0.2571])
     args = p.parse_args()
+
+    _preflight(args)
 
     from sm3x.metrics import write_results_csv
 

@@ -141,4 +141,4 @@ class BackboneEvalTrainer(common.CheckpointableTrainer):
 
     def write_results(self, data, path: str):
         preds, targets = collect_eval_logits(self, data)
-        return write_results_csv(path, preds, targets)
+        return write_results_csv(path, preds, targets, probabilities=False)

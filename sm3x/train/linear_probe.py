@@ -33,9 +33,19 @@ class LinearProbe:
     """Probe an extract_fn (frozen) with 8 linear heads."""
 
     def __init__(self, feat_dim: int, ft_lr: float = 1e-3, wd: float = 5e-2,
-                 num_classes=tuple(NUM_CLASSES), seed: int = 3407, mesh=None):
+                 num_classes=tuple(NUM_CLASSES), seed: int = 3407, mesh=None,
+                 classes_name=None, cls_weights=None):
+        """classes_name/cls_weights default to the Derm7pt 8-label schema;
+        transfer datasets (ISIC binary columns) pass their own."""
+        from sm3x import CLASSES_NAME, CLS_WEIGHTS
+
         self.mesh = mesh or make_mesh()
         self.num_classes = tuple(num_classes)
+        self.classes_name = tuple(classes_name if classes_name is not None
+                                  else CLASSES_NAME)
+        self.cls_weights = tuple(cls_weights if cls_weights is not None
+                                 else CLS_WEIGHTS)
+        assert len(self.classes_name) == len(self.num_classes)
         self.model = MultiHeadClassifier(tuple(num_classes))
         self.rng = prng.root_key(seed)
         params = self.model.init(jax.random.fold_in(self.rng, 3),
@@ -91,7 +101,10 @@ class LinearProbe:
 
             preds, targets = _concat_masked(preds_all, targets_all, masks)
             stats = compute_stage_metrics(preds, targets,
-                                          num_classes=self.num_classes)
+                                          num_classes=self.num_classes,
+                                          cls_weights=self.cls_weights,
+                                          classes_name=self.classes_name,
+                                          probabilities=False)
             stats["loss"] = float(np.mean(losses))
             if best is None or stats["AUC_AVG"] > best["AUC_AVG"]:
                 best = stats

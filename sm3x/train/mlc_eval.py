@@ -174,7 +174,7 @@ class MLCEvalTrainer(common.CheckpointableTrainer):
 
     def write_results(self, data, path: str):
         preds, targets = collect_eval_logits(self, data)
-        return write_results_csv(path, preds, targets)
+        return write_results_csv(path, preds, targets, probabilities=False)
 
 
 def _graft(dst: dict, src: dict, logger=None, path: str = ""):

@@ -148,6 +148,8 @@ def _concat_masked(all_preds, all_targets, all_masks):
 
 def _epoch_metrics(all_preds, all_targets, all_masks) -> dict:
     preds, targets = _concat_masked(all_preds, all_targets, all_masks)
-    stats = compute_stage_metrics(preds, targets)
-    stats.update(mean_average_precision(preds, targets))
+    # eval loops hold raw logits: state it, don't let the torchmetrics
+    # [0,1]-heuristic guess (it mis-reads early-training logits)
+    stats = compute_stage_metrics(preds, targets, probabilities=False)
+    stats.update(mean_average_precision(preds, targets, probabilities=False))
     return stats

@@ -85,3 +85,24 @@ def test_compare_against_released_reference_layout(tmp_path):
     with open(ref) as f:
         want = f.readline().strip()
     assert got == want
+
+
+def test_preflight_names_missing_artifacts():
+    """The quality-lock trigger (VERDICT r2 #9): with nothing staged, the
+    one command that settles parity against the released weights must
+    fail fast NAMING each missing artifact and how to stage it."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "sm3x.reproduce",
+         "--pretrain-path", "/nonexistent/best_finetune.pth",
+         "--data-path", "/nonexistent/7PC",
+         "--compare", "/nonexistent/finetune_results.csv"],
+        capture_output=True, text=True,
+        env=dict(os.environ, PALLAS_AXON_POOL_IPS=""),
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode != 0
+    err = proc.stderr
+    assert "missing staged artifacts" in err
+    assert "best_finetune.pth" in err and "meta.csv" in err
+    assert "finetune_results.csv" in err

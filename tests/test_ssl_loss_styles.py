@@ -65,6 +65,24 @@ def test_ssl_loss_pallas_flag_runs_on_cpu(rng_np):
     np.testing.assert_allclose(float(t_pallas), float(t_xla), rtol=1e-6)
 
 
+def test_ssl_loss_pallas_flag_under_jit(rng_np):
+    """The train step that consumes use_pallas=True is jitted
+    (backbone_train.py) — inputs are Tracers there, so the fused
+    dispatcher must not inspect z1.devices() (regression: round-2's
+    dispatcher raised ConcretizationTypeError at trace time)."""
+    outs = {k: jax.tree.map(jnp.asarray, v)
+            for k, v in _fake_outputs(rng_np).items()}
+
+    @jax.jit
+    def step(o):
+        total, _ = ssl_loss(o, 0, temperature=0.1, groups=2,
+                            use_pallas=True)
+        return total
+
+    t_eager, _ = ssl_loss(outs, 0, temperature=0.1, groups=2)
+    np.testing.assert_allclose(float(step(outs)), float(t_eager), rtol=1e-5)
+
+
 def test_ssl_loss_modality_weights(rng_np):
     outs = {k: jax.tree.map(jnp.asarray, v)
             for k, v in _fake_outputs(rng_np).items()}
