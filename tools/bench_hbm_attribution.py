@@ -22,7 +22,8 @@ implied TFLOP/s, and the roofline time max(bytes/stream_rate,
 flops/matmul_peak); elimination deltas attribute the full step's ms and
 bytes to {backward, BN stat pass, augmentation, optimizer, residue}.
 
-Usage: python tools/bench_hbm_attribution.py [batch] [steps]
+Usage: python tools/bench_hbm_attribution.py [batch] [steps] [arch]
+(arch default resnet50; vit_b16 gives the ViT stretch-path attribution)
 """
 
 import os
@@ -132,9 +133,10 @@ def activation_census(trainer, jnp, batch, img=224):
         name = "/".join(getattr(p, "key", str(p)) for p in path)
         if not hasattr(leaf, "shape"):
             continue
-        kind = ("conv" if name.endswith("conv/__call__/0")
-                else "bn" if name.endswith("bn/__call__/0")
-                else "other")
+        parts = name.split("/")
+        mod = parts[-3] if len(parts) >= 3 else "?"
+        kind = ("conv" if mod == "conv" else "bn" if mod == "bn"
+                else mod.rstrip("0123456789_") or "other")
         nbytes = int(np.prod(leaf.shape)) * 2  # bf16 activations
         buckets.setdefault(kind, [0, 0])
         buckets[kind][0] += 1
@@ -163,10 +165,11 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 15
+    arch = sys.argv[3] if len(sys.argv) > 3 else "resnet50"
 
     cfg = SSLConfig(
         data=DataConfig(img_sz=(224, 224), cache_size=320),
-        model=ModelConfig(arch="resnet50", arch_version="v32", proj_dim=128,
+        model=ModelConfig(arch=arch, arch_version="v32", proj_dim=128,
                           temperature=0.1, use_pallas_augment=True),
         optim=OptimConfig(epochs=1, batch_size=batch, base_lr=1e-6, amp=True),
         run=RunConfig(log_path="/tmp/sm3x_attr", seed=0),
