@@ -102,7 +102,12 @@ def backbone_train_main():
     parser.add_argument("--num-labels", type=int, default=8)
     parser.add_argument("--label-weights", nargs="*", type=float,
                         default=[1.0] * 8)
-    parser.add_argument("--use-checkpoint", action="store_true")
+    parser.add_argument("--use-checkpoint", nargs="?", const=True,
+                        default=False,
+                        help="activation remat: bare flag = full per-block "
+                        "remat; '=dots' = selective policy remat (save "
+                        "weight-matmul outputs, recompute batched attention "
+                        "dots; ViT backbones)")
     parser.add_argument("--use-pallas-ntxent", action="store_true",
                         help="fused Pallas NT-Xent kernel in the SSL loss")
     parser.add_argument("--bn-stat-freq", type=int, default=1,

@@ -6,7 +6,7 @@ so that `run.sh` recipes translate 1:1 onto the TPU build.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 from sm3x import NUM_CLASSES
 
@@ -53,7 +53,9 @@ class ModelConfig:
     arch_weights: Optional[str] = None  # "IMAGENET1K_V1" in run.sh:11
     proj_dim: int = 128                # SSL projector output dim
     temperature: float = 0.1           # run.sh:9
-    use_checkpoint: bool = False       # activation checkpointing (remat)
+    # activation checkpointing: False | True (full per-block remat) |
+    # "dots" (selective policy remat — ViT backbones, see models/vit.py)
+    use_checkpoint: Union[bool, str] = False
     finetune: str = "fc"               # fc | projector | all
     # MLC extensions (mlc_train.py:447-457)
     num_labels: int = 8

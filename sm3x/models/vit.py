@@ -9,8 +9,9 @@ the /16 patch sizes at 224 (196+1 tokens).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Optional, Union
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -50,7 +51,11 @@ class ViT(nn.Module):
     mlp_ratio: float = 4.0
     num_classes: Optional[int] = None
     dtype: Any = jnp.bfloat16
-    remat: bool = False
+    # False | True (full per-block remat) | "dots" (selective: save
+    # weight-matmul outputs, recompute the batched attention dots +
+    # elementwise — frees the (B, heads, 197, 197) probs tensors that
+    # cause the b=128 activation-HBM collapse, at ~14% fwd recompute)
+    remat: Union[bool, str] = False
     bn_axis_name: Optional[str] = None  # unused (no BN); registry-compatible
 
     @nn.compact
@@ -71,7 +76,10 @@ class ViT(nn.Module):
 
         block_cls = ViTBlock
         if self.remat:
-            block_cls = nn.remat(ViTBlock, static_argnums=(2,))
+            policy = None
+            if self.remat == "dots":
+                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            block_cls = nn.remat(ViTBlock, static_argnums=(2,), policy=policy)
         for i in range(self.depth):
             x = block_cls(self.dim, self.n_heads, self.mlp_ratio, self.dtype,
                           name=f"block{i}")(x, train)
@@ -95,6 +103,7 @@ VIT_FEAT_DIMS = {k: v["dim"] for k, v in VIT_SPECS.items()}
 
 
 def build_vit(arch: str, num_classes: Optional[int] = None,
-              dtype=jnp.bfloat16, bn_axis_name=None, remat: bool = False) -> ViT:
+              dtype=jnp.bfloat16, bn_axis_name=None,
+              remat: Union[bool, str] = False) -> ViT:
     spec = VIT_SPECS[arch]
     return ViT(num_classes=num_classes, dtype=dtype, remat=remat, **spec)

@@ -18,6 +18,51 @@ def test_vit_forward_shapes():
     assert out.shape == (2, feat_dim("vit_t16"))
 
 
+@pytest.mark.parametrize("remat", [True, "dots"])
+def test_vit_remat_modes_grad_parity(remat):
+    """Full-block and selective ('dots' policy) remat must both be
+    differentiable and produce the same gradients as the un-rematted ViT
+    (remat changes scheduling, not math)."""
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)),
+                    jnp.float32)
+
+    def grads(remat_mode):
+        m = build_backbone("vit_t16", dtype=jnp.float32, remat=remat_mode)
+        v = m.init(jax.random.key(0), x, train=False)
+
+        def loss(p):
+            return jnp.sum(m.apply({"params": p}, x, train=False) ** 2)
+
+        return jax.jit(jax.grad(loss))(v["params"])
+
+    g0 = grads(False)
+    g1 = grads(remat)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_vit_fused_view_pass_matches_per_view():
+    """Stat-free encoders forward both views as ONE 2B pass
+    (sm3x/models/simclr.py SimCLRBranch); the fused pass must be
+    numerically identical to encoding each view separately."""
+    from sm3x.models.simclr import SimCLRBranch
+
+    m = SimCLRBranch(arch="vit_t16", proj_dim=16, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    x1 = jnp.asarray(rng.normal(size=(3, 32, 32, 3)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(size=(3, 32, 32, 3)), jnp.float32)
+    v = m.init(jax.random.key(0), x1, x2, train=False)
+    (f1, f2), z = m.apply(v, x1, x2, train=False)
+    e1 = m.apply(v, x1, train=False, method=SimCLRBranch.extract)
+    e2 = m.apply(v, x2, train=False, method=SimCLRBranch.extract)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(e1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(e2),
+                               rtol=1e-5, atol=1e-5)
+    assert z.shape == (6, 16)
+
+
 def test_vit_in_simclr_branch():
     from sm3x.models.simclr import SimCLRSkinV3
 
