@@ -83,12 +83,20 @@ def main():
     # arch override: any extra arg naming a backbone (e.g. vit_b16)
     arch = next((a for a in extra if a.startswith(("vit_", "resnet"))),
                 "resnet50")
+    # optional secondary mode: `bnK` (e.g. bn4) measures the sanctioned
+    # periodic BN-stat refresh step (--bn-stat-freq K; quality-neutral at
+    # the recipe lr 1e-6, BENCH.md round 3). The default invocation stays
+    # the K=1 reference-semantics headline.
+    bn_freq = next((int(a[2:]) for a in extra
+                    if a.startswith("bn") and a[2:].isdigit()), 1)
 
     cfg = SSLConfig(
         data=DataConfig(img_sz=(224, 224), cache_size=320),
         model=ModelConfig(arch=arch, arch_version="v32", proj_dim=128,
                           temperature=0.1,
-                          use_checkpoint="remat" in extra,
+                          bn_stat_freq=bn_freq,
+                          use_checkpoint=("dots" if "remat_dots" in extra
+                                          else "remat" in extra),
                           use_pallas_augment="no_pallas_aug" not in extra,
                           use_pallas_ntxent="pallas_ntxent" in extra),
         optim=OptimConfig(epochs=1, batch_size=batch, base_lr=1e-6, amp=True),
@@ -101,7 +109,10 @@ def main():
 
     def step(i):
         rng = prng.step_rng(trainer.rng, 0, i)
-        state, metrics = trainer.train_step(
+        step_fn = trainer.train_step
+        if trainer.fast_step is not None and i % bn_freq:
+            step_fn = trainer.fast_step  # eval-BN step on K-1 of K steps
+        state, metrics = step_fn(
             trainer.state, db["derm"], db["derm_hw"],
             db["clinic"], db["clinic_hw"], rng)
         trainer.state = state
@@ -111,12 +122,21 @@ def main():
     # block_until_ready can return before execution drains (it reported a
     # 40x-too-fast step once a pallas_call entered the graph); a scalar
     # readback is an unconditional barrier since execution is FIFO.
-    float(step(0)["loss"])
-    float(step(1)["loss"])
+    # Warm BOTH abstract signatures of every program in the schedule: the
+    # first step's output state carries XLA-chosen layouts (conv kernels
+    # come back transposed vs the init arrays' default layout), so each
+    # step program compiles twice — once on the init-layout state, once
+    # on the step-layout state. One full 2K cycle hits train_step at i=0
+    # (init state) and i=K (step-layout state); without this the second
+    # train_step compile (~80 s) lands INSIDE the timed window and
+    # poisons the bnK measurement 12x (BENCH.md round 3,
+    # tools/bench_bn_alternation.py is the probe that isolated it).
+    for w in range(2 * bn_freq):
+        float(step(w)["loss"])
 
     t0 = time.perf_counter()
     for i in range(steps):
-        m = step(i + 2)
+        m = step(i + 2 * bn_freq)
     float(m["loss"])
     dt = time.perf_counter() - t0
 
@@ -126,8 +146,11 @@ def main():
     step_ms = dt / steps * 1000.0
     step_flops, flop_source = _step_flops(trainer, db, batch)
     tflops = step_flops / (dt / steps) / 1e12 / n_chips
+    metric = "ssl_pretrain_images_per_sec_per_chip"
+    if bn_freq > 1:
+        metric += f"_bn_stat_freq{bn_freq}"  # sanctioned secondary line
     print(json.dumps({
-        "metric": "ssl_pretrain_images_per_sec_per_chip",
+        "metric": metric,
         "value": round(img_per_sec_chip, 2),
         "unit": f"images/sec/chip (224x224 through {arch} fwd+bwd, incl. on-device aug)",
         "vs_baseline": round(img_per_sec_chip / BASELINE_IMG_PER_SEC_PER_CHIP, 3),

@@ -54,17 +54,14 @@ class SimCLRBranch(nn.Module):
     def __call__(self, x1, x2, train: bool = True):
         """Returns ((f1, f2), z) with z = projector(cat(f1, f2)): (2B, P).
 
-        Stat-free encoders (ViT: no batch statistics) forward both views
-        in ONE 2B pass — bitwise the same math (shared weights, no
-        cross-sample coupling), but the doubled matmul batch keeps the
-        MXU busier when per-kernel work is small. BN encoders keep the
-        reference's separate per-view passes (concatenation would change
-        which samples each view's batch statistics see)."""
-        if self.arch.startswith("vit"):
-            f = self.encoder(jnp.concatenate([x1, x2], axis=0), train)
-            z = self.projector(f, train)
-            b = x1.shape[0]
-            return (f[:b], f[b:]), z
+        The two views are deliberately SEPARATE encoder passes. For BN
+        encoders that is reference semantics (each view is its own stat
+        batch); for stat-free ViT a fused 2B pass is mathematically
+        identical and was tried in round 3 — measured 0.78× (877 vs 1122
+        img/s at b=64): the SSL step is HBM-bound and XLA schedules two
+        sequential B-passes better under activation pressure than one 2B
+        graph (it even added ~6% recompute FLOPs to fit). Same verdict as
+        round 1's ResNet fused-2B probe — do not re-fuse (BENCH.md r3)."""
         f1 = self.encoder(x1, train)
         f2 = self.encoder(x2, train)
         z = self.projector(jnp.concatenate([f1, f2], axis=0), train)

@@ -9,6 +9,7 @@ the /16 patch sizes at 224 (196+1 tokens).
 
 from __future__ import annotations
 
+import math
 from typing import Any, Optional, Union
 
 import jax
@@ -65,13 +66,35 @@ class ViT(nn.Module):
                     strides=(self.patch, self.patch), padding="VALID",
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="patch_embed")(x)
+        gh, gw = x.shape[1], x.shape[2]
         x = x.reshape(b, -1, self.dim)
         n_tokens = x.shape[1] + 1
         cls = self.param("cls", nn.initializers.normal(0.02), (1, 1, self.dim),
                          jnp.float32)
         x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.dim)).astype(x.dtype), x], axis=1)
+        # pos_embed is created at the FIRST grid size this module is
+        # initialized with; other input resolutions (SwAV multi-crop local
+        # views, transfer eval at a different size) bilinearly interpolate
+        # its 2D grid part — standard ViT practice. The init grid is
+        # recovered from the stored param's own shape (square grids; a
+        # non-square init grid keeps the fixed-size behavior). The resize
+        # is a tiny whole-param op with static shapes per jit
+        # specialization, so it costs nothing per step.
+        h0, w0 = gh, gw
+        if not self.is_initializing():
+            stored = self.get_variable("params", "pos_embed")
+            if stored is not None:
+                n0 = stored.shape[1] - 1
+                r = math.isqrt(n0)
+                if r * r == n0:
+                    h0, w0 = r, r
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
-                         (1, n_tokens, self.dim), jnp.float32)
+                         (1, h0 * w0 + 1, self.dim), jnp.float32)
+        if (h0, w0) != (gh, gw):
+            grid = pos[:, 1:].reshape(1, h0, w0, self.dim)
+            grid = jax.image.resize(grid, (1, gh, gw, self.dim), "bilinear")
+            pos = jnp.concatenate(
+                [pos[:, :1], grid.reshape(1, gh * gw, self.dim)], axis=1)
         x = x + pos.astype(x.dtype)
 
         block_cls = ViTBlock

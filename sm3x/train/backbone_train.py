@@ -233,16 +233,9 @@ class SSLTrainer(common.CheckpointableTrainer):
                 "--bn-stat-freq applies to the dual-modal SSL step only "
                 "(the trimodal step's dropout views need train-mode "
                 "forward)")
-        if (cfg.data.data_name == "SevenPCSwavDataset"
-                and str(m.arch).startswith("vit")):
-            # the ViT pos_embed is sized for the global resolution
-            # (sm3x/models/vit.py:68); local views at other sizes would
-            # fail with an opaque broadcast error mid-trace
-            raise ValueError(
-                "multi-crop (SevenPCSwavDataset) needs an arch that "
-                "accepts multiple input resolutions; ViT position "
-                f"embeddings are fixed-size — use a ResNet arch, not "
-                f"{m.arch!r}")
+        # multi-crop with ViT backbones works since the pos_embed learned
+        # at the global resolution is bilinearly interpolated to each
+        # local-view grid (sm3x/models/vit.py) — no arch guard needed.
         if self.is_trimodal:
             # the BASELINE.json stretch goal: dual images + patient
             # metadata third modality (sm3x/models/trimodal.py)

@@ -93,18 +93,26 @@ def test_ssl_loss_modality_weights(rng_np):
     np.testing.assert_allclose(float(total), expect, rtol=1e-5)
 
 
-def test_ssl_trainer_rejects_vit_multicrop(tmp_path):
-    """ViT pos_embed is fixed-size; multi-crop local views must be
-    rejected upfront, not crash mid-trace."""
-    from sm3x.core.config import SSLConfig
-    from sm3x.train.backbone_train import SSLTrainer
+def test_vit_multicrop_forward_and_loss(rng_np):
+    """ViT + multi-crop works since the pos_embed learned at the global
+    resolution is bilinearly interpolated to each local-view grid
+    (sm3x/models/vit.py) — local views at a different size forward
+    through the same encoder and contribute a finite 'local' loss term.
+    (Replaces the round-2 guard test: the trainer used to REJECT
+    ViT + SevenPCSwavDataset.)"""
+    from sm3x.models.simclr import SimCLRSkinV32
+    from sm3x.losses.ssl import ssl_loss
 
-    cfg = SSLConfig()
-    cfg.model.arch = "vit_t16"
-    cfg.data.data_name = "SevenPCSwavDataset"
-    cfg.run.log_path = str(tmp_path)
-    with pytest.raises(ValueError, match="multi-crop"):
-        SSLTrainer(cfg)
+    m = SimCLRSkinV32(arch="vit_t16", proj_dim=8, dtype=jnp.float32)
+    g = jnp.asarray(rng_np.normal(size=(4, 2, 32, 32, 3)), jnp.float32)
+    loc = jnp.asarray(rng_np.normal(size=(2, 2, 16, 16, 3)), jnp.float32)
+    variables = m.init(jax.random.key(0), (g[0], g[1]), (g[2], g[3]),
+                       train=False)
+    out = m.apply(variables, (g[0], g[1]), (g[2], g[3]),
+                  (loc[0],), (loc[1],), train=False, method="multicrop")
+    assert out["derm_local_z"][0].shape == (2, 8)
+    total, parts = ssl_loss(out, 2, temperature=0.1, local_weight=0.5)
+    assert np.isfinite(float(total)) and "local" in parts
 
 
 @pytest.mark.parametrize("fusion,n_pairs", [
