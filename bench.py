@@ -96,6 +96,8 @@ def main():
                           temperature=0.1,
                           bn_stat_freq=bn_freq,
                           use_checkpoint=("dots" if "remat_dots" in extra
+                                          else "attn" if "remat_attn" in extra
+                                          else "flash" if "flash" in extra
                                           else "remat" in extra),
                           use_pallas_augment="no_pallas_aug" not in extra,
                           use_pallas_ntxent="pallas_ntxent" in extra),

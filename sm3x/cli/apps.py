@@ -104,10 +104,11 @@ def backbone_train_main():
                         default=[1.0] * 8)
     parser.add_argument("--use-checkpoint", nargs="?", const=True,
                         default=False,
-                        help="activation remat: bare flag = full per-block "
-                        "remat; '=dots' = selective policy remat (save "
-                        "weight-matmul outputs, recompute batched attention "
-                        "dots; ViT backbones)")
+                        help="activation-memory strategy: bare flag = full "
+                        "per-block remat; '=dots' = selective policy remat; "
+                        "'=attn' = recompute only the attention internals in "
+                        "the backward; '=flash' = fused Pallas flash-"
+                        "attention (TPU; attn/flash are ViT backbones only)")
     parser.add_argument("--use-pallas-ntxent", action="store_true",
                         help="fused Pallas NT-Xent kernel in the SSL loss")
     parser.add_argument("--bn-stat-freq", type=int, default=1,

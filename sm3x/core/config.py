@@ -53,8 +53,11 @@ class ModelConfig:
     arch_weights: Optional[str] = None  # "IMAGENET1K_V1" in run.sh:11
     proj_dim: int = 128                # SSL projector output dim
     temperature: float = 0.1           # run.sh:9
-    # activation checkpointing: False | True (full per-block remat) |
-    # "dots" (selective policy remat — ViT backbones, see models/vit.py)
+    # activation-memory strategy: False | True (full per-block remat) |
+    # "dots" (selective policy remat) | "attn" (recompute only the
+    # attention internals in backward) | "flash" (fused Pallas
+    # flash-attention kernel, TPU; "attn"/"flash" are ViT backbones
+    # only — see the ladder in models/vit.py)
     use_checkpoint: Union[bool, str] = False
     finetune: str = "fc"               # fc | projector | all
     # MLC extensions (mlc_train.py:447-457)

@@ -17,6 +17,10 @@ from sm3x.models import vit as vit_lib
 def build_backbone(arch: str, num_classes: Optional[int] = None,
                    dtype=jnp.bfloat16, bn_axis_name=None, remat: bool = False):
     if arch in resnet_lib.FEAT_DIMS:
+        if remat in ("attn", "flash", "dots"):
+            raise ValueError(
+                f"--use-checkpoint={remat} is an attention-memory mode for "
+                f"ViT backbones; {arch} supports bare --use-checkpoint only")
         return resnet_lib.build_resnet(arch, num_classes, dtype,
                                        bn_axis_name, remat)
     if arch in vit_lib.VIT_FEAT_DIMS:

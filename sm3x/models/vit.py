@@ -9,6 +9,7 @@ the /16 patch sizes at 224 (196+1 tokens).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Optional, Union
 
@@ -19,11 +20,79 @@ import flax.linen as nn
 from sm3x.models.projector import torch_linear_init
 
 
+def _remat_attention_fn(query, key, value, mask=None, dtype=None,
+                        precision=None, force_fp32_for_softmax=False):
+    """`nn.dot_product_attention` under `jax.checkpoint`: the backward
+    recomputes the (B, H, S, S) attention probs from q/k instead of
+    reading them from a saved fwd residual — the probs tensors are what
+    drive the ViT b=128 activation-HBM collapse (BENCH.md round 3), and
+    recomputing them costs ~4% of block FLOPs at S=197."""
+    inner = functools.partial(
+        nn.dot_product_attention, mask=mask, dtype=dtype, precision=precision,
+        force_fp32_for_softmax=force_fp32_for_softmax)
+    return jax.checkpoint(inner)(query, key, value)
+
+
+def _pad_for_flash(query, key, value):
+    """(B, S, H, D) flax layout -> padded (B, H, Sp, D) kernel layout plus
+    the (B, Sp) segment ids that mask the padding.
+
+    The Pallas TPU flash kernel tiles the sequence in MIN_BLOCK_SIZE (128)
+    blocks, so S=197 (224^2 /16 patches + [cls]) pads to 256; padded
+    tokens get segment id 1 vs the real tokens' 0, so they only attend to
+    each other (SegmentIds masks q_seg != kv_seg) and their output rows
+    are sliced away by the caller. Attention is ~4% of ViT-B block FLOPs
+    at S=197, so the (256/197)^2 dot padding costs ~3% of the step's
+    attention slice."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    b, s, _, _ = query.shape
+    sp = -(-s // fa.MIN_BLOCK_SIZE) * fa.MIN_BLOCK_SIZE
+
+    def to_bhsd(x):
+        x = jnp.transpose(x, (0, 2, 1, 3))
+        return jnp.pad(x, ((0, 0), (0, 0), (0, sp - s), (0, 0)))
+
+    seg = jnp.broadcast_to(
+        (jnp.arange(sp) >= s).astype(jnp.int32)[None, :], (b, sp))
+    return to_bhsd(query), to_bhsd(key), to_bhsd(value), seg, sp
+
+
+def _flash_attention_fn(query, key, value, mask=None, dtype=None,
+                        precision=None, force_fp32_for_softmax=False):
+    """Fused Pallas flash-attention (TPU): softmax(QK^T/sqrt(D))V computed
+    tile-wise in VMEM — the probs never touch HBM in either direction
+    (the custom VJP recomputes them per tile), the strongest point on the
+    attention-memory ladder. Off-TPU (CPU test mesh) this statically
+    falls back to the checkpointed XLA path, which has identical
+    save-nothing residual semantics (the backend decision must not
+    inspect the runtime arrays: under jit they are Tracers)."""
+    if jax.default_backend() != "tpu":
+        return _remat_attention_fn(
+            query, key, value, mask=mask, dtype=dtype, precision=precision,
+            force_fp32_for_softmax=force_fp32_for_softmax)
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    b, s, h, d = query.shape
+    q, k, v, seg, _ = _pad_for_flash(query, key, value)
+    out = fa.flash_attention(q, k, v, segment_ids=fa.SegmentIds(seg, seg),
+                             sm_scale=1.0 / math.sqrt(d))
+    return jnp.transpose(out[:, :, :s, :], (0, 2, 1, 3)).astype(query.dtype)
+
+
+_ATTENTION_FNS = {
+    "xla": nn.dot_product_attention,
+    "attn": _remat_attention_fn,
+    "flash": _flash_attention_fn,
+}
+
+
 class ViTBlock(nn.Module):
     dim: int
     n_heads: int
     mlp_ratio: float = 4.0
     dtype: Any = jnp.bfloat16
+    attn_impl: str = "xla"  # "xla" | "attn" (checkpointed) | "flash"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -32,6 +101,7 @@ class ViTBlock(nn.Module):
         h = ln("ln1")(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.n_heads, dtype=self.dtype, param_dtype=jnp.float32,
+            attention_fn=_ATTENTION_FNS[self.attn_impl],
             name="attn")(h, h)
         x = x + h
         h = ln("ln2")(x)
@@ -52,10 +122,21 @@ class ViT(nn.Module):
     mlp_ratio: float = 4.0
     num_classes: Optional[int] = None
     dtype: Any = jnp.bfloat16
-    # False | True (full per-block remat) | "dots" (selective: save
-    # weight-matmul outputs, recompute the batched attention dots +
-    # elementwise — frees the (B, heads, 197, 197) probs tensors that
-    # cause the b=128 activation-HBM collapse, at ~14% fwd recompute)
+    # Activation-memory strategy ladder (all checkpoint-compatible —
+    # the param tree is identical across modes):
+    #   False  — save everything (XLA default residuals)
+    #   True   — full per-block remat
+    #   "dots" — selective policy remat: save weight-matmul outputs,
+    #            recompute attention dots + elementwise (measured: pins
+    #            the 4x-wide fc1 outputs and compile-OOMs at b=128)
+    #   "attn" — recompute ONLY the attention internals in the backward
+    #            (jax.checkpoint around softmax(QK^T)V): frees the
+    #            (B, heads, S, S) probs residuals that cause the b=128
+    #            activation-HBM collapse at ~4% block-FLOP recompute
+    #   "flash"— same save-nothing attention residuals via the fused
+    #            Pallas flash-attention kernel (probs never reach HBM in
+    #            fwd OR bwd; tile-wise recompute in VMEM). TPU only;
+    #            falls back to "attn" semantics on other backends.
     remat: Union[bool, str] = False
     bn_axis_name: Optional[str] = None  # unused (no BN); registry-compatible
 
@@ -98,14 +179,17 @@ class ViT(nn.Module):
         x = x + pos.astype(x.dtype)
 
         block_cls = ViTBlock
-        if self.remat:
+        attn_impl = "xla"
+        if self.remat in ("attn", "flash"):
+            attn_impl = self.remat
+        elif self.remat:
             policy = None
             if self.remat == "dots":
                 policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
             block_cls = nn.remat(ViTBlock, static_argnums=(2,), policy=policy)
         for i in range(self.depth):
             x = block_cls(self.dim, self.n_heads, self.mlp_ratio, self.dtype,
-                          name=f"block{i}")(x, train)
+                          attn_impl, name=f"block{i}")(x, train)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                          param_dtype=jnp.float32, name="ln_final")(x)
         feat = x[:, 0].astype(jnp.float32)

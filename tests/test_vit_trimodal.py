@@ -18,9 +18,11 @@ def test_vit_forward_shapes():
     assert out.shape == (2, feat_dim("vit_t16"))
 
 
-@pytest.mark.parametrize("remat", [True, "dots"])
+@pytest.mark.parametrize("remat", [True, "dots", "attn", "flash"])
 def test_vit_remat_modes_grad_parity(remat):
-    """Full-block and selective ('dots' policy) remat must both be
+    """Every rung of the activation-memory ladder (full-block remat,
+    'dots' policy, checkpointed-attention 'attn', and 'flash' — which on
+    this CPU test mesh statically falls back to the 'attn' path) must be
     differentiable and produce the same gradients as the un-rematted ViT
     (remat changes scheduling, not math)."""
     x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)),
@@ -40,6 +42,38 @@ def test_vit_remat_modes_grad_parity(remat):
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_flash_padding_and_segment_mask():
+    """The flash-attention wrapper pads S=197-style odd sequence lengths
+    to the kernel's 128-token block grid and masks the padding with
+    segment ids. Validated against the kernel's own pure-jnp oracle
+    (`mha_reference` consumes the identical SegmentIds contract): padded
+    + masked attention, sliced back, must equal direct unpadded attention.
+    The Pallas kernel itself is numerics-checked on real TPU
+    (BENCH.md round 3); this locks the padding/mask construction the
+    kernel is fed."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    from sm3x.models.vit import _pad_for_flash
+
+    b, s, h, d = 2, 197, 3, 8
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+               for _ in range(3))
+    qp, kp, vp, seg, sp = _pad_for_flash(q, k, v)
+    assert sp % fa.MIN_BLOCK_SIZE == 0 and qp.shape == (b, h, sp, d)
+    assert np.asarray(seg).sum() == b * (sp - s)  # pads are segment 1
+
+    import flax.linen as nn
+
+    ref = nn.dot_product_attention(q, k, v)
+    out = fa.mha_reference(qp, kp, vp, None,
+                           segment_ids=fa.SegmentIds(seg, seg),
+                           sm_scale=1.0 / np.sqrt(d))
+    out = jnp.transpose(out[:, :, :s, :], (0, 2, 1, 3))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_vit_branch_views_match_extract():
