@@ -26,13 +26,18 @@ def SevenPCBaseDataset(data_path: str, mode: str, cache_size: int = 320,
     return PairedImageData.from_meta(meta, mode, cache_size, workers)
 
 
-# SevenPCBaseDataset2 (joint-tensor transform variant, datasets.py:573-605)
-# differs from SevenPCBaseDataset only in WHERE the transform is applied;
-# with on-device augmentation both collapse to the same data layout. The
-# alias keeps run.sh recipes working by name. SevenPCSwavDataset
-# (multi-crop, datasets.py:608-707) likewise shares the canvas layout —
-# the multi-crop views are produced on device by
-# sm3x.ops.augment.multicrop_augment_batch.
+# SevenPCBaseDataset2 (joint-tensor transform variant, reference
+# datasets.py:573-605) shares SevenPCBaseDataset's HOST-side layout (the
+# canvases are identical); what differs is the augmentation semantics —
+# ONE transform call over the stacked derm+clinic pair, i.e. identical
+# random params for both modalities, cropped within the common
+# min(h),min(w) region. With on-device augmentation that lives in the
+# train step: the trainers detect --data-name SevenPCBaseDataset2 and
+# select joint per-pair keys (sm3x.ops.augment.modality_keys /
+# modality_valid_hw). SevenPCSwavDataset (multi-crop, datasets.py:608-707)
+# likewise shares the canvas layout — the multi-crop views are produced
+# on device by sm3x.ops.augment.multicrop_augment_batch, selected by name
+# in SSLTrainer.
 SevenPCBaseDataset2 = SevenPCBaseDataset
 SevenPCSwavDataset = SevenPCBaseDataset
 

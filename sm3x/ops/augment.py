@@ -325,6 +325,32 @@ def supervised_augment_batch(rng, canvases, valid_hw, mean, std, cfg: AugConfig 
     return ssl_augment_batch(rng, canvases, valid_hw, mean, std, cfg)
 
 
+def modality_keys(kd, kc, joint_aug: bool = False):
+    """Select per-modality augmentation RNG keys: (k_derm, k_clinic).
+
+    `joint_aug=True` reproduces SevenPCBaseDataset2 (reference
+    datasets.py:573-605): ONE transform call over the stacked derm+clinic
+    tensor gives the pair identical random parameters — crop box, flip,
+    jitter factors, blur sigma — realized here by handing both modalities
+    the derm key (every per-sample/per-view draw downstream is then
+    bitwise identical). Default is the independent-params semantics of
+    SevenPCBaseDataset (datasets.py:477-570: one transform call per
+    modality), with the caller's original key split preserved."""
+    return (kd, kd) if joint_aug else (kd, kc)
+
+
+def modality_valid_hw(derm_hw, clinic_hw, joint_aug: bool = False):
+    """Per-modality valid crop regions. SevenPCBaseDataset2 truncates both
+    images to the common (min h, min w) before stacking them for the joint
+    transform (reference datasets.py:586-591), so under `joint_aug=True`
+    both modalities crop within the shared region — which also makes the
+    sampled crop boxes bitwise equal given the shared key."""
+    if not joint_aug:
+        return derm_hw, clinic_hw
+    hw = jnp.minimum(derm_hw, clinic_hw)
+    return hw, hw
+
+
 def get_ssl_augment_fn(use_pallas: bool = False, mesh=None):
     """Pick the augmentation implementation for a train step: the XLA
     chain, or the fused Pallas photometric kernel (shard_map-wrapped on a

@@ -93,7 +93,8 @@ class BackboneEvalTrainer(common.CheckpointableTrainer):
             apply_train, apply_eval, cfg.optim.label_weights,
             tuple(cfg.data.mean), tuple(cfg.data.std), aug,
             tuple(cfg.data.img_sz),
-            aug_fn=get_ssl_augment_fn(m.use_pallas_augment, self.mesh))
+            aug_fn=get_ssl_augment_fn(m.use_pallas_augment, self.mesh),
+            joint_aug=cfg.data.data_name == "SevenPCBaseDataset2")
 
         self.best_auc = 0.0
 

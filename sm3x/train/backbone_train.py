@@ -31,8 +31,15 @@ def make_ssl_train_step(model, style: int, temperature: float, groups: int,
                         mean, std, aug_cfg=SSL_AUG, use_pallas: bool = False,
                         use_pallas_aug: bool = False, mesh=None,
                         multicrop=None, frozen_bn: bool = False,
-                        modality_weights=(1.0, 1.0)):
+                        modality_weights=(1.0, 1.0),
+                        joint_aug: bool = False):
     """Returns jitted (state, canvases..., rng) -> (state, metrics).
+
+    `joint_aug`: SevenPCBaseDataset2 semantics (reference
+    datasets.py:573-605) — the derm/clinic pair shares every random
+    augmentation parameter per view (sm3x.ops.augment.modality_keys) and
+    crops within the common valid region (modality_valid_hw). Selected by
+    --data-name SevenPCBaseDataset2.
 
     `frozen_bn`: the --bn-stat-freq fast step — forward with eval-mode BN
     (normalize with running statistics; no batch-stat pass, so the conv
@@ -87,13 +94,17 @@ def make_ssl_train_step(model, style: int, temperature: float, groups: int,
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, derm, derm_hw, clinic, clinic_hw, rng):
+        from sm3x.ops.augment import modality_keys, modality_valid_hw
+
         kd, kc = jax.random.split(rng)
+        kd, kc = modality_keys(kd, kc, joint_aug)
+        d_hw, c_hw = modality_valid_hw(derm_hw, clinic_hw, joint_aug)
         if multicrop is not None:
-            d1, d2, d_locals = augment_multicrop(kd, derm, derm_hw)
-            c1, c2, c_locals = augment_multicrop(kc, clinic, clinic_hw)
+            d1, d2, d_locals = augment_multicrop(kd, derm, d_hw)
+            c1, c2, c_locals = augment_multicrop(kc, clinic, c_hw)
         else:
-            d1, d2 = augment_views(kd, derm, derm_hw)
-            c1, c2 = augment_views(kc, clinic, clinic_hw)
+            d1, d2 = augment_views(kd, derm, d_hw)
+            c1, c2 = augment_views(kc, clinic, c_hw)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -137,7 +148,8 @@ def make_ssl_train_step(model, style: int, temperature: float, groups: int,
 
 def make_trimodal_train_step(model, temperature: float, groups: int,
                              mean, std, aug_cfg=SSL_AUG,
-                             use_pallas_aug: bool = False, mesh=None):
+                             use_pallas_aug: bool = False, mesh=None,
+                             joint_aug: bool = False):
     """Tri-modal (derm + clinic + patient metadata) SSL step — the
     BASELINE.json stretch goal. Same fused-augmentation front end as the
     dual-modal step; the metadata branch gets two stochastic dropout
@@ -149,13 +161,17 @@ def make_trimodal_train_step(model, temperature: float, groups: int,
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, derm, derm_hw, clinic, clinic_hw, meta, rng):
+        from sm3x.ops.augment import modality_keys, modality_valid_hw
+
         kd, kc, kdrop = jax.random.split(rng, 3)
+        kd, kc = modality_keys(kd, kc, joint_aug)
+        d_hw, c_hw = modality_valid_hw(derm_hw, clinic_hw, joint_aug)
         kd1, kd2 = jax.random.split(kd)
         kc1, kc2 = jax.random.split(kc)
-        d1 = _aug(kd1, derm, derm_hw, mean, std, aug_cfg)
-        d2 = _aug(kd2, derm, derm_hw, mean, std, aug_cfg)
-        c1 = _aug(kc1, clinic, clinic_hw, mean, std, aug_cfg)
-        c2 = _aug(kc2, clinic, clinic_hw, mean, std, aug_cfg)
+        d1 = _aug(kd1, derm, d_hw, mean, std, aug_cfg)
+        d2 = _aug(kd2, derm, d_hw, mean, std, aug_cfg)
+        c1 = _aug(kc1, clinic, c_hw, mean, std, aug_cfg)
+        c2 = _aug(kc2, clinic, c_hw, mean, std, aug_cfg)
 
         def loss_fn(params):
             outs, mut = model.apply(
@@ -172,43 +188,6 @@ def make_trimodal_train_step(model, temperature: float, groups: int,
         return state, {"loss": loss, **parts}
 
     return train_step
-
-
-# torchvision download URLs for the pretrained enums the reference recipe
-# names (run.sh:11 uses IMAGENET1K_V1 on resnet50; reference
-# src/models/resnet.py:378-724 defines the enum->URL table)
-_TORCHVISION_URLS = {
-    ("resnet18", "IMAGENET1K_V1"):
-        "https://download.pytorch.org/models/resnet18-f37072fd.pth",
-    ("resnet34", "IMAGENET1K_V1"):
-        "https://download.pytorch.org/models/resnet34-b627a593.pth",
-    ("resnet50", "IMAGENET1K_V1"):
-        "https://download.pytorch.org/models/resnet50-0676ba61.pth",
-    ("resnet50", "IMAGENET1K_V2"):
-        "https://download.pytorch.org/models/resnet50-11ad3fa6.pth",
-    ("resnet101", "IMAGENET1K_V1"):
-        "https://download.pytorch.org/models/resnet101-63fe2227.pth",
-}
-
-
-def _arch_weights_help(value: str, arch: str) -> str:
-    """Actionable --arch-weights error: this environment has no network,
-    so enum names (the reference's torchvision syntax) and missing paths
-    both need the user to stage a local file."""
-    url = _TORCHVISION_URLS.get((arch, value))
-    if url is not None:
-        return (
-            f"--arch-weights '{value}' is a torchvision weight enum; this "
-            f"environment cannot download it. On a connected machine run\n"
-            f"    curl -LO {url}\n"
-            f"then pass the downloaded file:  --arch-weights "
-            f"{url.rsplit('/', 1)[1]}")
-    return (
-        f"--arch-weights '{value}' is not a file. Pass the path to a "
-        f"torchvision {arch} checkpoint (.pth holding the state_dict, e.g. "
-        f"torch.save(torchvision.models.{arch}(weights='IMAGENET1K_V1')"
-        f".state_dict(), 'init.pth') on a machine with torchvision); sm3x "
-        f"converts it on load (sm3x.utils.torch_convert.convert_resnet).")
 
 
 class SSLTrainer(common.CheckpointableTrainer):
@@ -236,6 +215,21 @@ class SSLTrainer(common.CheckpointableTrainer):
         # multi-crop with ViT backbones works since the pos_embed learned
         # at the global resolution is bilinearly interpolated to each
         # local-view grid (sm3x/models/vit.py) — no arch guard needed.
+        # ViT default activation-memory mode: 'attn' (recompute only the
+        # attention internals in the backward — frees the (B,H,S,S) probs
+        # residuals). Measured uniformly faster than save-all on TPU
+        # (BENCH.md round 4: +3.9% at b=64, +9.0% at b=128) with
+        # IDENTICAL numerics — it is a residual policy, not a math
+        # change. Opt out with --use-checkpoint off.
+        self._use_checkpoint = m.use_checkpoint
+        if self._use_checkpoint is False and str(m.arch).startswith("vit"):
+            self._use_checkpoint = "attn"
+            self.logger.info(
+                "ViT backbone: defaulting --use-checkpoint to 'attn' "
+                "(BENCH.md round 4; pass --use-checkpoint off for XLA "
+                "save-all residuals)")
+        elif self._use_checkpoint == "off":
+            self._use_checkpoint = False
         if self.is_trimodal:
             # the BASELINE.json stretch goal: dual images + patient
             # metadata third modality (sm3x/models/trimodal.py)
@@ -244,13 +238,13 @@ class SSLTrainer(common.CheckpointableTrainer):
             self.model = TriModalSimCLR(
                 arch=m.arch, proj_dim=m.proj_dim,
                 meta_vocab_sizes=tuple(m.meta_vocab_sizes),
-                dtype=self.policy.compute_dtype, remat=m.use_checkpoint)
+                dtype=self.policy.compute_dtype, remat=self._use_checkpoint)
             self.style = 0
         else:
             self.model, self.style = build_ssl_model(
                 m.arch_version, m.arch, m.proj_dim,
                 dtype=self.policy.compute_dtype,
-                remat=m.use_checkpoint,
+                remat=self._use_checkpoint,
             )
         # per-device-negatives parity: world_size groups (SURVEY §2c)
         data_shards = int(self.mesh.devices.shape[0])
@@ -275,17 +269,17 @@ class SSLTrainer(common.CheckpointableTrainer):
                 lambda r: self.model.init(r, (dummy, dummy), (dummy, dummy),
                                           train=False))(init_rng)
         # --arch-weights: initialize both encoders from a torch ResNet
-        # state-dict (the reference boots from IMAGENET1K_V1, run.sh:11;
-        # pass the torchvision .pth file path here — no network fetch).
-        import os as _os
-
+        # state-dict. Accepts a .pth path OR a torchvision enum name
+        # ('IMAGENET1K_V1', the reference run.sh:11 syntax) resolved
+        # against staged local files with a sha256 integrity check
+        # (sm3x.utils.weight_registry — the reference's vendored enum
+        # tables, src/models/resnet.py:339-671).
         if m.arch_weights:
-            if not _os.path.isfile(str(m.arch_weights)):
-                raise FileNotFoundError(_arch_weights_help(
-                    str(m.arch_weights), m.arch))
             from sm3x.utils import torch_convert as _tc
+            from sm3x.utils.weight_registry import resolve_arch_weights
 
-            sd = _tc.load_torch_state_dict(str(m.arch_weights))
+            weights_path = resolve_arch_weights(str(m.arch_weights), m.arch)
+            sd = _tc.load_torch_state_dict(weights_path)
             ep, es = _tc.convert_resnet(sd, m.arch)
             for mod in ("derm_backbone", "clinic_backbone"):
                 variables["params"][mod]["encoder"] = jax.tree.map(
@@ -293,7 +287,8 @@ class SSLTrainer(common.CheckpointableTrainer):
                 variables["batch_stats"][mod]["encoder"] = jax.tree.map(
                     jnp.asarray, es)
             self.logger.info(
-                f"initialized encoders from '{m.arch_weights}'")
+                f"initialized encoders from '{weights_path}' "
+                f"(--arch-weights {m.arch_weights})")
 
         tx = common.make_adamw(cfg.optim.base_lr, cfg.optim.wd,
                                eps=cfg.optim.adam_eps)
@@ -302,6 +297,14 @@ class SSLTrainer(common.CheckpointableTrainer):
         import dataclasses as _dc
 
         aug_cfg = _dc.replace(SSL_AUG, out_size=tuple(cfg.data.img_sz))
+        # --data-name SevenPCBaseDataset2: the pair shares augmentation
+        # params per view (reference datasets.py:573-605 transforms the
+        # stacked derm+clinic tensor in ONE call)
+        joint_aug = cfg.data.data_name == "SevenPCBaseDataset2"
+        if joint_aug:
+            self.logger.info(
+                "SevenPCBaseDataset2: joint per-pair augmentation "
+                "(derm and clinic share crop/flip/jitter params)")
         multicrop = None
         if cfg.data.data_name == "SevenPCSwavDataset":
             # the multi-crop dataset name selects the SwAV-style step:
@@ -324,7 +327,8 @@ class SSLTrainer(common.CheckpointableTrainer):
             self.train_step = make_trimodal_train_step(
                 self.model, m.temperature, self.groups,
                 tuple(cfg.data.mean), tuple(cfg.data.std), aug_cfg,
-                use_pallas_aug=m.use_pallas_augment, mesh=self.mesh)
+                use_pallas_aug=m.use_pallas_augment, mesh=self.mesh,
+                joint_aug=joint_aug)
         else:
             self.train_step = make_ssl_train_step(
                 self.model, self.style, m.temperature, self.groups,
@@ -332,7 +336,8 @@ class SSLTrainer(common.CheckpointableTrainer):
                 use_pallas=m.use_pallas_ntxent,
                 use_pallas_aug=m.use_pallas_augment, mesh=self.mesh,
                 multicrop=multicrop,
-                modality_weights=tuple(cfg.modality_weights))
+                modality_weights=tuple(cfg.modality_weights),
+                joint_aug=joint_aug)
         # --bn-stat-freq K>1 (off-recipe): every K-th step refreshes BN
         # batch statistics; the rest run the eval-BN fast step
         self.fast_step = None
@@ -343,7 +348,8 @@ class SSLTrainer(common.CheckpointableTrainer):
                 use_pallas=m.use_pallas_ntxent,
                 use_pallas_aug=m.use_pallas_augment, mesh=self.mesh,
                 multicrop=multicrop, frozen_bn=True,
-                modality_weights=tuple(cfg.modality_weights))
+                modality_weights=tuple(cfg.modality_weights),
+                joint_aug=joint_aug)
             self.logger.info(
                 f"bn-stat-freq {self.bn_stat_freq}: BN statistics refresh "
                 f"every {self.bn_stat_freq} steps (OFF-RECIPE; running "

@@ -103,7 +103,8 @@ class MLCEvalTrainer(common.CheckpointableTrainer):
             apply_train, apply_eval, cfg.optim.label_weights,
             tuple(cfg.data.mean), tuple(cfg.data.std), aug,
             (cfg.test_sz, cfg.test_sz),
-            aug_fn=get_ssl_augment_fn(m.use_pallas_augment, self.mesh))
+            aug_fn=get_ssl_augment_fn(m.use_pallas_augment, self.mesh),
+            joint_aug=cfg.data.data_name == "SevenPCBaseDataset2")
 
         self.best_auc = 0.0
 

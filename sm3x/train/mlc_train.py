@@ -38,13 +38,18 @@ from sm3x.utils import (AverageMeter, ProgressMeter, setup_logger,
 
 
 def make_mlc_train_step(model, temperature: float, mean, std, aug_cfg,
-                        finetune_backbone: bool, aug_fn=ssl_augment_batch):
+                        finetune_backbone: bool, aug_fn=ssl_augment_batch,
+                        joint_aug: bool = False):
+    from sm3x.ops.augment import modality_keys, modality_valid_hw
+
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(state, bank, derm, derm_hw, clinic, clinic_hw,
                    index, assignments, rng):
         kd, kc, kdrop = jax.random.split(rng, 3)
-        d = aug_fn(kd, derm, derm_hw, mean, std, aug_cfg)
-        c = aug_fn(kc, clinic, clinic_hw, mean, std, aug_cfg)
+        kd, kc = modality_keys(kd, kc, joint_aug)
+        d_hw, c_hw = modality_valid_hw(derm_hw, clinic_hw, joint_aug)
+        d = aug_fn(kd, derm, d_hw, mean, std, aug_cfg)
+        c = aug_fn(kc, clinic, c_hw, mean, std, aug_cfg)
 
         def loss_fn(params):
             (sa, preds), mut = model.apply(
@@ -73,15 +78,19 @@ def make_mlc_train_step(model, temperature: float, mean, std, aug_cfg,
     return train_step
 
 
-def make_embed_step(model, mean, std, aug_cfg, aug_fn=ssl_augment_batch):
+def make_embed_step(model, mean, std, aug_cfg, aug_fn=ssl_augment_batch,
+                    joint_aug: bool = False):
     """init_memory pass (mlc_train.py:92-113): train-mode modules (the
     reference never switches to eval before the init pass), no gradient."""
+    from sm3x.ops.augment import modality_keys, modality_valid_hw
 
     @jax.jit
     def embed(params, batch_stats, derm, derm_hw, clinic, clinic_hw, rng):
         kd, kc, kdrop = jax.random.split(rng, 3)
-        d = aug_fn(kd, derm, derm_hw, mean, std, aug_cfg)
-        c = aug_fn(kc, clinic, clinic_hw, mean, std, aug_cfg)
+        kd, kc = modality_keys(kd, kc, joint_aug)
+        d_hw, c_hw = modality_valid_hw(derm_hw, clinic_hw, joint_aug)
+        d = aug_fn(kd, derm, d_hw, mean, std, aug_cfg)
+        c = aug_fn(kc, clinic, c_hw, mean, std, aug_cfg)
         (sa, _), mut = model.apply(
             {"params": params, "batch_stats": batch_stats}, d, c,
             extractor_train=True, head_train=True, stop_extractor_grad=True,
@@ -168,12 +177,13 @@ class MLCTrainer(common.CheckpointableTrainer):
         from sm3x.ops.augment import get_ssl_augment_fn
 
         aug_fn = get_ssl_augment_fn(m.use_pallas_augment, self.mesh)
+        joint_aug = cfg.data.data_name == "SevenPCBaseDataset2"
         self.train_step = make_mlc_train_step(
             self.model, m.temperature, tuple(cfg.data.mean), tuple(cfg.data.std),
-            aug_cfg, m.finetune_backbone, aug_fn=aug_fn)
+            aug_cfg, m.finetune_backbone, aug_fn=aug_fn, joint_aug=joint_aug)
         self.embed_step = make_embed_step(
             self.model, tuple(cfg.data.mean), tuple(cfg.data.std), aug_cfg,
-            aug_fn=aug_fn)
+            aug_fn=aug_fn, joint_aug=joint_aug)
         self.bank = None
 
     def _place_state(self):

@@ -33,14 +33,19 @@ def make_supervised_steps(
     apply_eval: Callable,    # (params, batch_stats, d, c) -> preds
     label_weights: Sequence[float],
     mean, std, train_aug, eval_size=(224, 224), aug_fn=ssl_augment_batch,
+    joint_aug: bool = False,
 ):
+    from sm3x.ops.augment import modality_keys, modality_valid_hw
+
     label_weights = tuple(float(w) for w in label_weights)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, derm, derm_hw, clinic, clinic_hw, labels, rng):
         kd, kc, kdrop = jax.random.split(rng, 3)
-        d = aug_fn(kd, derm, derm_hw, mean, std, train_aug)
-        c = aug_fn(kc, clinic, clinic_hw, mean, std, train_aug)
+        kd, kc = modality_keys(kd, kc, joint_aug)
+        d_hw, c_hw = modality_valid_hw(derm_hw, clinic_hw, joint_aug)
+        d = aug_fn(kd, derm, d_hw, mean, std, train_aug)
+        c = aug_fn(kc, clinic, c_hw, mean, std, train_aug)
 
         def loss_fn(params):
             preds, new_stats = apply_train(params, state.batch_stats, d, c, kdrop)

@@ -26,9 +26,9 @@ import pytest  # noqa: E402
 # isolation vs 1130s at position ~115 of the suite; the deterministic
 # step 60s vs 280s). Subprocess-driven tests are immune and go last.
 _RUN_FIRST = [
-    "test_ssl_train.py", "test_stage2_train.py", "test_tp_vit.py",
-    "test_tp.py", "test_vit_trimodal.py", "test_checkpoint.py",
-    "test_augment_pallas.py",
+    "test_ssl_train.py", "test_joint_aug.py", "test_stage2_train.py",
+    "test_tp_vit.py", "test_tp.py", "test_vit_trimodal.py",
+    "test_checkpoint.py", "test_augment_pallas.py",
 ]
 _RUN_LAST = [
     "test_cli_smoke.py", "test_serving_isolated.py", "test_torch_export.py",
