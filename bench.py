@@ -95,9 +95,13 @@ def main():
         model=ModelConfig(arch=arch, arch_version="v32", proj_dim=128,
                           temperature=0.1,
                           bn_stat_freq=bn_freq,
+                          # ViT default resolves to 'attn' in SSLTrainer
+                          # (BENCH.md round 4); 'remat_off' forces XLA
+                          # save-all residuals for baseline measurements
                           use_checkpoint=("dots" if "remat_dots" in extra
                                           else "attn" if "remat_attn" in extra
                                           else "flash" if "flash" in extra
+                                          else "off" if "remat_off" in extra
                                           else "remat" in extra),
                           use_pallas_augment="no_pallas_aug" not in extra,
                           use_pallas_ntxent="pallas_ntxent" in extra),
@@ -161,6 +165,17 @@ def main():
         "mfu_pct": round(100.0 * tflops / CHIP_PEAK_TFLOPS, 2),
         "flops_per_step": step_flops,
         "flop_source": flop_source,
+        # vs_baseline divides by an ASSUMED 1000 img/s A100-class anchor
+        # (the reference publishes no throughput). The grounded claim is
+        # the roofline: XLA's calibrated traffic accounting shows this
+        # step moving 192 GB = 4.9 passes over its 39 GB activation set at
+        # 856 GB/s implied (105% of v5e HBM spec) — i.e. the step runs AT
+        # the platform's HBM speed of light for train-BN semantics
+        # (BENCH.md round 3, tools/bench_hbm_attribution.py). The measured
+        # same-host torch denominator is 1.7 img/s (BENCH.md round 2).
+        "baseline_note": ("assumed 1000 img/s anchor; step is at the HBM "
+                          "roofline (856 GB/s implied, 105% of spec; "
+                          "BENCH.md)"),
     }))
 
 

@@ -108,7 +108,10 @@ def backbone_train_main():
                         "per-block remat; '=dots' = selective policy remat; "
                         "'=attn' = recompute only the attention internals in "
                         "the backward; '=flash' = fused Pallas flash-"
-                        "attention (TPU; attn/flash are ViT backbones only)")
+                        "attention (TPU; attn/flash are ViT backbones only); "
+                        "'=off' = XLA save-all residuals. ViT SSL defaults "
+                        "to 'attn' (measured faster at every batch size, "
+                        "identical numerics — BENCH.md round 4)")
     parser.add_argument("--use-pallas-ntxent", action="store_true",
                         help="fused Pallas NT-Xent kernel in the SSL loss")
     parser.add_argument("--bn-stat-freq", type=int, default=1,

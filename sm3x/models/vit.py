@@ -71,6 +71,13 @@ def _flash_attention_fn(query, key, value, mask=None, dtype=None,
         return _remat_attention_fn(
             query, key, value, mask=mask, dtype=dtype, precision=precision,
             force_fp32_for_softmax=force_fp32_for_softmax)
+    if mask is not None:
+        # the Pallas kernel only expresses masking via segment ids; a
+        # caller-provided mask would be silently dropped on TPU while the
+        # CPU fallback honors it — refuse rather than diverge (ADVICE r3)
+        raise NotImplementedError(
+            "flash attention does not support an attention mask; use "
+            "remat='attn' for masked attention")
     from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
     b, s, h, d = query.shape
@@ -178,6 +185,13 @@ class ViT(nn.Module):
                 [pos[:, :1], grid.reshape(1, gh * gw, self.dim)], axis=1)
         x = x + pos.astype(x.dtype)
 
+        if not isinstance(self.remat, bool) and self.remat not in (
+                "dots", "attn", "flash"):
+            # a typo ('flsh', 'atn') must not silently run full per-block
+            # remat via the truthy elif below (ADVICE r3)
+            raise ValueError(
+                f"unknown remat/--use-checkpoint mode {self.remat!r}; "
+                f"valid: False, True, 'dots', 'attn', 'flash'")
         block_cls = ViTBlock
         attn_impl = "xla"
         if self.remat in ("attn", "flash"):
