@@ -28,7 +28,7 @@ import torch.nn.functional as F
 from sm3x import NUM_CLASSES
 
 from torch_ref import (TorchMultiLabelProjector, randomize_bn_stats,
-                       torch_resnet18)
+                       torch_resnet18, torch_resnet50)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -41,19 +41,19 @@ class _Branch(nn.Module):
     an `encoder` attribute (SimCLR, reference simclr.py:41-49), which is
     why inference.py strips the `encoder.` substring on load."""
 
-    def __init__(self):
+    def __init__(self, backbone=torch_resnet18):
         super().__init__()
-        self.encoder = torch_resnet18()
+        self.encoder = backbone()
 
     def forward(self, x):
         return self.encoder(x)
 
 
 class _Extractor(nn.Module):
-    def __init__(self):
+    def __init__(self, backbone=torch_resnet18):
         super().__init__()
-        self.derm_backbone = _Branch()
-        self.clinic_backbone = _Branch()
+        self.derm_backbone = _Branch(backbone)
+        self.clinic_backbone = _Branch(backbone)
 
     def extract(self, d, c):
         return [self.derm_backbone(d), self.clinic_backbone(c)]
@@ -64,9 +64,10 @@ class TorchEvalModel(nn.Module):
     (reference tools/mlc_eval.py Model): extractor.*_backbone.encoder.*,
     projectors.projectors.N.0.*, mlc_sa.*, prototypes.N.*."""
 
-    def __init__(self, feat_dim=1024, proj_dim=32, ff=16):
+    def __init__(self, feat_dim=1024, proj_dim=32, ff=16,
+                 backbone=torch_resnet18):
         super().__init__()
-        self.extractor = _Extractor()
+        self.extractor = _Extractor(backbone)
         self.projectors = TorchMultiLabelProjector(feat_dim, proj_dim, 8)
         self.mlc_sa = nn.TransformerEncoderLayer(
             d_model=proj_dim, nhead=1, dim_feedforward=ff, dropout=0.1)
@@ -110,18 +111,20 @@ def _torch_eval_preds(tm, data, test_sz, batch_size=8):
             np.concatenate(targets))
 
 
-@pytest.mark.slow
-def test_released_pth_to_csv_lock(tmp_path):
+def _run_golden_lock(tmp_path, *, arch, backbone, feat_dim, proj_dim, ff,
+                     n_cases, img_size, test_sz, cache_size, batch,
+                     timeout):
     from sm3x.data.datasets import SevenPCBaseDataset
     from sm3x.data.synthetic import make_fake_derm7pt
     from sm3x.metrics import write_results_csv
 
     root = str(tmp_path / "data")
-    make_fake_derm7pt(root, n_cases=24, img_size=56)
+    make_fake_derm7pt(root, n_cases=n_cases, img_size=img_size)
 
     gen = torch.Generator().manual_seed(11)
     torch.manual_seed(11)
-    tm = TorchEvalModel()
+    tm = TorchEvalModel(feat_dim=feat_dim, proj_dim=proj_dim, ff=ff,
+                        backbone=backbone)
     randomize_bn_stats(tm, gen)
     # the released init is normal(0, 0.01); amplify the heads so per-case
     # logits are well separated and AUROC is not tie-brittle at this scale
@@ -137,9 +140,9 @@ def test_released_pth_to_csv_lock(tmp_path):
                                for k, v in tm.state_dict().items()},
                 "epoch": 3}, pth)
 
-    test_sz = 64
-    data = SevenPCBaseDataset(root, "test", cache_size=64)
-    preds, targets = _torch_eval_preds(tm, data, test_sz)
+    data = SevenPCBaseDataset(root, "test", cache_size=cache_size)
+    preds, targets = _torch_eval_preds(tm, data, test_sz,
+                                       batch_size=batch)
     expected_csv = str(tmp_path / "expected.csv")
     write_results_csv(expected_csv, preds, targets)
 
@@ -152,10 +155,12 @@ def test_released_pth_to_csv_lock(tmp_path):
         [sys.executable, os.path.join(REPO, "tools", "reproduce_results.py"),
          "--pretrain-path", pth, "--data-path", root, "--out", out_csv,
          "--compare", expected_csv, "--tolerance", "0.2",
-         "-a", "resnet18", "--mlc-proj-dim", "32", "--sa-dim-ff", "16",
-         "-b", "8", "--test-sz", str(test_sz), "--cache-size", "64",
+         "-a", arch, "--mlc-proj-dim", str(proj_dim),
+         "--sa-dim-ff", str(ff),
+         "-b", str(batch), "--test-sz", str(test_sz),
+         "--cache-size", str(cache_size),
          "--fp32", "--platform", "cpu"],
-        capture_output=True, text=True, timeout=1800)
+        capture_output=True, text=True, timeout=timeout)
     assert res.returncode == 0, (
         f"reproduce_results lock failed:\nSTDOUT:\n{res.stdout[-4000:]}\n"
         f"STDERR:\n{res.stderr[-2000:]}")
@@ -170,3 +175,31 @@ def test_released_pth_to_csv_lock(tmp_path):
         assert co[0] == ce[0]
         diffs = [abs(float(a) - float(b)) for a, b in zip(co[1:], ce[1:])]
         assert max(diffs) <= 0.2, (co[0], max(diffs))
+
+
+@pytest.mark.slow
+def test_released_pth_to_csv_lock(tmp_path):
+    _run_golden_lock(
+        tmp_path, arch="resnet18", backbone=torch_resnet18, feat_dim=1024,
+        proj_dim=32, ff=16, n_cases=24, img_size=56, test_sz=64,
+        cache_size=64, batch=8, timeout=1800)
+
+
+@pytest.mark.slow
+def test_released_pth_to_csv_lock_released_scale(tmp_path):
+    """The EXACT shape of the real quality-parity trigger (VERDICT r3 next
+    #5): resnet50 @ 224 eval, mlc-proj-dim 512 / sa-dim-ff 128 (run.sh
+    stage-3/4 recipe), over a 395-case fake test split — the size of the
+    real Derm7pt test split the released CSVs were computed on
+    (/root/reference/README.md:10-12). First contact with the real
+    best_linear/best_finetune weights is then a rerun of this test with
+    the real paths (MIGRATION.md), not a debug session.
+
+    CPU-heavy (two resnet50 towers over 395 cases, torch + XLA): ~15-25
+    min on a 1-core host; slow-gated like the rest of the CLI pipeline."""
+    # n_cases=1580 -> train 790 / valid 395 / test 395
+    # (make_fake_derm7pt splits n//2, n//4, remainder)
+    _run_golden_lock(
+        tmp_path, arch="resnet50", backbone=torch_resnet50, feat_dim=4096,
+        proj_dim=512, ff=128, n_cases=1580, img_size=240, test_sz=224,
+        cache_size=256, batch=16, timeout=5400)
