@@ -31,6 +31,17 @@ def make_structured_dataset(n=192, size=160, seed=0):
 
     rng = np.random.default_rng(seed)
     labels = np.stack([rng.integers(0, c, n) for c in NUM_CLASSES], axis=1)
+    # synthetic patient metadata for the trimodal stretch path: codes
+    # correlated with the first three labels (Derm7pt-like cardinalities
+    # elevation/sex/location = 3/3/16) with 15% random corruption, so the
+    # metadata branch carries real but imperfect label evidence
+    meta_vocab = (3, 3, 16)
+    meta = np.stack([labels[:, 0] % 3, labels[:, 1] % 3,
+                     labels[:, 4] % 16], axis=1).astype(np.int32)
+    noise_mask = rng.random(meta.shape) < 0.15
+    noise_vals = np.stack([rng.integers(0, v, n) for v in meta_vocab],
+                          axis=1).astype(np.int32)
+    meta = np.where(noise_mask, noise_vals, meta)
 
     def render(label, modality_shift):
         # Labels are encoded in LUMINANCE TEXTURE (grating orientation /
@@ -82,8 +93,8 @@ def make_structured_dataset(n=192, size=160, seed=0):
         data.clinic = clinic
         data.labels = labels[split_idx].astype(np.int32)
         data.n = len(split_idx)
-        data.meta_codes = None  # no synthetic patient metadata
-        data.meta_vocab_sizes = None
+        data.meta_codes = meta[split_idx]
+        data.meta_vocab_sizes = list(meta_vocab)
         return data
 
     perm = rng.permutation(n)
@@ -109,7 +120,19 @@ def main():
     p.add_argument("--lr", type=float, default=1e-3,
                    help="SSL learning rate (the BN-stat-freq lever's "
                    "safety depends on how fast params outrun the EMA)")
+    p.add_argument("--arch-version", default="v32",
+                   help="SSL model family (v2/v3/v32 styles or 'trimodal' "
+                   "for the metadata third-modality stretch path)")
+    p.add_argument("--use-checkpoint", default="false",
+                   help="ViT attention-memory ladder rung: false|true|"
+                   "dots|attn|flash (models/vit.py)")
+    p.add_argument("--multicrop", action="store_true",
+                   help="SwAV-style multi-crop SSL (SevenPCSwavDataset "
+                   "semantics): 2 globals at --img-sz + 4 locals at half "
+                   "resolution")
     args = p.parse_args()
+    use_ckpt = {"false": False, "true": True}.get(
+        args.use_checkpoint.lower(), args.use_checkpoint)
 
     from sm3x.core.config import SSLConfig, DataConfig, ModelConfig, OptimConfig, RunConfig
     from sm3x.train.backbone_train import SSLTrainer
@@ -120,10 +143,22 @@ def main():
     train, test = make_structured_dataset()
     print(f"data: train {train.n} / test {test.n}", flush=True)
 
+    dkw = dict(img_sz=(args.img_sz, args.img_sz), mean=mean, std=std)
+    if args.multicrop:
+        # SwAV recipe scaled to the demo resolution: 2 globals + 4 locals
+        # at half size (the reference's 224/96 ratio, datasets.py:608-707)
+        dkw.update(data_name="SevenPCSwavDataset",
+                   size_crops=(args.img_sz, args.img_sz // 2),
+                   nmb_crops=(2, 4),
+                   min_scale_crops=(0.5, 0.14),
+                   max_scale_crops=(1.0, 0.5))
     cfg = SSLConfig(
-        data=DataConfig(img_sz=(args.img_sz, args.img_sz), mean=mean, std=std),
-        model=ModelConfig(arch=args.arch, arch_version="v32", proj_dim=64,
-                          temperature=0.1, bn_stat_freq=args.bn_stat_freq),
+        data=DataConfig(**dkw),
+        model=ModelConfig(arch=args.arch, arch_version=args.arch_version,
+                          proj_dim=64, temperature=0.1,
+                          bn_stat_freq=args.bn_stat_freq,
+                          use_checkpoint=use_ckpt,
+                          meta_vocab_sizes=(3, 3, 16)),
         optim=OptimConfig(epochs=args.epochs, batch_size=args.batch_size,
                           base_lr=args.lr, amp=True),
         run=RunConfig(log_path=args.log_path, seed=0, save_freq=1000,
