@@ -83,10 +83,12 @@ def main():
     # arch override: any extra arg naming a backbone (e.g. vit_b16)
     arch = next((a for a in extra if a.startswith(("vit_", "resnet"))),
                 "resnet50")
-    # optional secondary mode: `bnK` (e.g. bn4) measures the sanctioned
-    # periodic BN-stat refresh step (--bn-stat-freq K; quality-neutral at
-    # the recipe lr 1e-6, BENCH.md round 3). The default invocation stays
-    # the K=1 reference-semantics headline.
+    # optional secondary mode: `bnK` (e.g. bn4) measures the EXPERIMENTAL
+    # periodic BN-stat refresh step (--bn-stat-freq K). Round 4's
+    # learning-regime grid (lr 1e-5, 330x12 steps) measured K=4 HARMFUL
+    # (probe below the random-init control, BENCH.md round 4), so this is
+    # a throughput-only line, not a sanctioned quality-preserving mode.
+    # The default invocation stays the K=1 reference-semantics headline.
     bn_freq = next((int(a[2:]) for a in extra
                     if a.startswith("bn") and a[2:].isdigit()), 1)
 
@@ -99,6 +101,8 @@ def main():
                           # (BENCH.md round 4); 'remat_off' forces XLA
                           # save-all residuals for baseline measurements
                           use_checkpoint=("dots" if "remat_dots" in extra
+                                          else "attn_mlp" if "remat_attn_mlp" in extra
+                                          else "mlp" if "remat_mlp" in extra
                                           else "attn" if "remat_attn" in extra
                                           else "flash" if "flash" in extra
                                           else "off" if "remat_off" in extra
@@ -154,7 +158,7 @@ def main():
     tflops = step_flops / (dt / steps) / 1e12 / n_chips
     metric = "ssl_pretrain_images_per_sec_per_chip"
     if bn_freq > 1:
-        metric += f"_bn_stat_freq{bn_freq}"  # sanctioned secondary line
+        metric += f"_bn_stat_freq{bn_freq}"  # experimental secondary line
     print(json.dumps({
         "metric": metric,
         "value": round(img_per_sec_chip, 2),

@@ -107,20 +107,24 @@ def backbone_train_main():
                         help="activation-memory strategy: bare flag = full "
                         "per-block remat; '=dots' = selective policy remat; "
                         "'=attn' = recompute only the attention internals in "
-                        "the backward; '=flash' = fused Pallas flash-"
-                        "attention (TPU; attn/flash are ViT backbones only); "
+                        "the backward; '=mlp' = recompute the fc1+gelu span; "
+                        "'=attn_mlp' = both; '=flash' = fused Pallas flash-"
+                        "attention (TPU; attn/mlp/flash are ViT backbones "
+                        "only); "
                         "'=off' = XLA save-all residuals. ViT SSL defaults "
                         "to 'attn' (measured faster at every batch size, "
                         "identical numerics — BENCH.md round 4)")
     parser.add_argument("--use-pallas-ntxent", action="store_true",
                         help="fused Pallas NT-Xent kernel in the SSL loss")
     parser.add_argument("--bn-stat-freq", type=int, default=1,
-                        help="OFF-RECIPE throughput knob (+11%% at K=4): "
+                        help="EXPERIMENTAL throughput knob (+11%% at K=4): "
                         "refresh BN batch statistics only every K-th step; "
                         "the other steps normalize with running stats "
-                        "(eval-BN forward, no stat pass). Safe at low lr "
-                        "(the recipe regime), measurably harmful at high "
-                        "lr — see BENCH.md. 1 = reference semantics")
+                        "(eval-BN forward, no stat pass). Measured HARMFUL "
+                        "to learned-feature quality in a learning-regime "
+                        "grid at lr 1e-5 (K=4 probe lands below the "
+                        "random-init control — BENCH.md round 4); keep at "
+                        "1 (reference semantics) for quality-critical runs")
     parser.add_argument("--linear-probe", action="store_true",
                         help="run the in-tool linear probe after training "
                         "(backbone_train.py:293-426; disabled at :607 in "

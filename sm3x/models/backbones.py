@@ -17,7 +17,7 @@ from sm3x.models import vit as vit_lib
 def build_backbone(arch: str, num_classes: Optional[int] = None,
                    dtype=jnp.bfloat16, bn_axis_name=None, remat: bool = False):
     if arch in resnet_lib.FEAT_DIMS:
-        if remat in ("attn", "flash", "dots"):
+        if remat in ("attn", "flash", "dots", "mlp", "attn_mlp"):
             raise ValueError(
                 f"--use-checkpoint={remat} is an attention-memory mode for "
                 f"ViT backbones; {arch} supports bare --use-checkpoint only")

@@ -94,12 +94,24 @@ _ATTENTION_FNS = {
 }
 
 
+def _fc1_gelu(mdl, t):
+    """fc1 matmul + gelu as a module-first function so `nn.remat` can
+    wrap exactly this span: rematting it frees BOTH wide bf16[B, S, 4*dim]
+    residuals (the fc1 output needed by gelu's backward and the gelu
+    output needed by fc2's backward) while saving only the narrow ln2
+    output — the fc1/gelu hidden activations are the measured driver of
+    the ViT b=128 collapse (BENCH.md round 4 finding 3). Recompute cost
+    is one fc1 matmul + gelu ≈ 1/3 of block forward FLOPs."""
+    return nn.gelu(mdl(t))
+
+
 class ViTBlock(nn.Module):
     dim: int
     n_heads: int
     mlp_ratio: float = 4.0
     dtype: Any = jnp.bfloat16
     attn_impl: str = "xla"  # "xla" | "attn" (checkpointed) | "flash"
+    mlp_remat: bool = False  # remat the fc1+gelu span (see _fc1_gelu)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -113,9 +125,12 @@ class ViTBlock(nn.Module):
         x = x + h
         h = ln("ln2")(x)
         hidden = int(self.dim * self.mlp_ratio)
-        h = nn.Dense(hidden, dtype=self.dtype, param_dtype=jnp.float32,
-                     kernel_init=torch_linear_init(self.dim), name="fc1")(h)
-        h = nn.gelu(h)
+        fc1 = nn.Dense(hidden, dtype=self.dtype, param_dtype=jnp.float32,
+                       kernel_init=torch_linear_init(self.dim), name="fc1")
+        # named module (param tree stays block*/fc1 in every mode) fed
+        # through the plain or rematted fc1+gelu span
+        mlp_in = nn.remat(_fc1_gelu) if self.mlp_remat else _fc1_gelu
+        h = mlp_in(fc1, h)
         h = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                      kernel_init=torch_linear_init(hidden), name="fc2")(h)
         return x + h
@@ -144,6 +159,12 @@ class ViT(nn.Module):
     #            Pallas flash-attention kernel (probs never reach HBM in
     #            fwd OR bwd; tile-wise recompute in VMEM). TPU only;
     #            falls back to "attn" semantics on other backends.
+    #   "mlp"  — recompute the fc1+gelu span in the backward: frees the
+    #            two wide bf16[B, S, 4*dim] MLP hidden residuals (the
+    #            measured driver of the b=128 collapse, BENCH.md round 4
+    #            finding 3) at ~1/3 block-forward-FLOP recompute
+    #   "attn_mlp" — both of the above: checkpointed attention + fc1/gelu
+    #            remat; the targeted answer to large-batch HBM pressure
     remat: Union[bool, str] = False
     bn_axis_name: Optional[str] = None  # unused (no BN); registry-compatible
 
@@ -186,16 +207,22 @@ class ViT(nn.Module):
         x = x + pos.astype(x.dtype)
 
         if not isinstance(self.remat, bool) and self.remat not in (
-                "dots", "attn", "flash"):
+                "dots", "attn", "flash", "mlp", "attn_mlp"):
             # a typo ('flsh', 'atn') must not silently run full per-block
             # remat via the truthy elif below (ADVICE r3)
             raise ValueError(
                 f"unknown remat/--use-checkpoint mode {self.remat!r}; "
-                f"valid: False, True, 'dots', 'attn', 'flash'")
+                f"valid: False, True, 'dots', 'attn', 'flash', 'mlp', "
+                f"'attn_mlp'")
         block_cls = ViTBlock
         attn_impl = "xla"
+        mlp_remat = False
         if self.remat in ("attn", "flash"):
             attn_impl = self.remat
+        elif self.remat in ("mlp", "attn_mlp"):
+            mlp_remat = True
+            if self.remat == "attn_mlp":
+                attn_impl = "attn"
         elif self.remat:
             policy = None
             if self.remat == "dots":
@@ -203,7 +230,7 @@ class ViT(nn.Module):
             block_cls = nn.remat(ViTBlock, static_argnums=(2,), policy=policy)
         for i in range(self.depth):
             x = block_cls(self.dim, self.n_heads, self.mlp_ratio, self.dtype,
-                          attn_impl, name=f"block{i}")(x, train)
+                          attn_impl, mlp_remat, name=f"block{i}")(x, train)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                          param_dtype=jnp.float32, name="ln_final")(x)
         feat = x[:, 0].astype(jnp.float32)

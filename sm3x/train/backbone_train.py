@@ -352,8 +352,11 @@ class SSLTrainer(common.CheckpointableTrainer):
                 joint_aug=joint_aug)
             self.logger.info(
                 f"bn-stat-freq {self.bn_stat_freq}: BN statistics refresh "
-                f"every {self.bn_stat_freq} steps (OFF-RECIPE; running "
-                f"stats lag up to {self.bn_stat_freq - 1} steps)")
+                f"every {self.bn_stat_freq} steps (EXPERIMENTAL, "
+                f"off-recipe; running stats lag up to "
+                f"{self.bn_stat_freq - 1} steps — measured harmful to "
+                f"feature quality in a learning-regime grid, BENCH.md "
+                f"round 4)")
         self.start_epoch = 0
 
     def _place_state(self):

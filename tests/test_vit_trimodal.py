@@ -18,7 +18,8 @@ def test_vit_forward_shapes():
     assert out.shape == (2, feat_dim("vit_t16"))
 
 
-@pytest.mark.parametrize("remat", [True, "dots", "attn", "flash"])
+@pytest.mark.parametrize("remat", [True, "dots", "attn", "flash", "mlp",
+                                   "attn_mlp"])
 def test_vit_remat_modes_grad_parity(remat):
     """Every rung of the activation-memory ladder (full-block remat,
     'dots' policy, checkpointed-attention 'attn', and 'flash' — which on

@@ -23,7 +23,11 @@ import numpy as np
 
 
 def make_structured_dataset(n=192, size=160, seed=0):
-    """Paired images whose hue/frequency encode the 8 labels."""
+    """Paired images whose hue/frequency encode the 8 labels.
+
+    n=192 is the historical demo size (BENCH.md tables); larger n
+    raises steps-per-epoch, needed for a meaningful --bn-stat-freq K>1
+    grid (K >= steps_per_epoch collapses to once-per-epoch refresh)."""
     import cv2
 
     from sm3x import NUM_CLASSES
@@ -125,7 +129,10 @@ def main():
                    "for the metadata third-modality stretch path)")
     p.add_argument("--use-checkpoint", default="false",
                    help="ViT attention-memory ladder rung: false|true|"
-                   "dots|attn|flash (models/vit.py)")
+                   "dots|attn|flash|mlp|attn_mlp (models/vit.py)")
+    p.add_argument("--data-n", type=int, default=192,
+                   help="synthetic dataset size (70/30 train/val split); "
+                   "default matches the historical BENCH.md tables")
     p.add_argument("--multicrop", action="store_true",
                    help="SwAV-style multi-crop SSL (SevenPCSwavDataset "
                    "semantics): 2 globals at --img-sz + 4 locals at half "
@@ -140,7 +147,7 @@ def main():
 
     mean = (0.5, 0.5, 0.5)
     std = (0.25, 0.25, 0.25)
-    train, test = make_structured_dataset()
+    train, test = make_structured_dataset(n=args.data_n)
     print(f"data: train {train.n} / test {test.n}", flush=True)
 
     dkw = dict(img_sz=(args.img_sz, args.img_sz), mean=mean, std=std)
