@@ -94,24 +94,13 @@ _ATTENTION_FNS = {
 }
 
 
-def _fc1_gelu(mdl, t):
-    """fc1 matmul + gelu as a module-first function so `nn.remat` can
-    wrap exactly this span: rematting it frees BOTH wide bf16[B, S, 4*dim]
-    residuals (the fc1 output needed by gelu's backward and the gelu
-    output needed by fc2's backward) while saving only the narrow ln2
-    output — the fc1/gelu hidden activations are the measured driver of
-    the ViT b=128 collapse (BENCH.md round 4 finding 3). Recompute cost
-    is one fc1 matmul + gelu ≈ 1/3 of block forward FLOPs."""
-    return nn.gelu(mdl(t))
-
-
 class ViTBlock(nn.Module):
     dim: int
     n_heads: int
     mlp_ratio: float = 4.0
     dtype: Any = jnp.bfloat16
     attn_impl: str = "xla"  # "xla" | "attn" (checkpointed) | "flash"
-    mlp_remat: bool = False  # remat the fc1+gelu span (see _fc1_gelu)
+    mlp_remat: bool = False  # remat the ln2+fc1+gelu span (see mlp_in)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -123,14 +112,29 @@ class ViTBlock(nn.Module):
             attention_fn=_ATTENTION_FNS[self.attn_impl],
             name="attn")(h, h)
         x = x + h
-        h = ln("ln2")(x)
         hidden = int(self.dim * self.mlp_ratio)
-        fc1 = nn.Dense(hidden, dtype=self.dtype, param_dtype=jnp.float32,
-                       kernel_init=torch_linear_init(self.dim), name="fc1")
-        # named module (param tree stays block*/fc1 in every mode) fed
-        # through the plain or rematted fc1+gelu span
-        mlp_in = nn.remat(_fc1_gelu) if self.mlp_remat else _fc1_gelu
-        h = mlp_in(fc1, h)
+
+        def mlp_in(blk, t):
+            # ln2 + fc1 + gelu as one module-first span so `nn.remat` can
+            # wrap exactly it (explicit names keep the param tree at
+            # block*/ln2 + block*/fc1 in every mode). Rematting it saves
+            # ONLY `t` — the residual-stream tensor that is live anyway —
+            # and frees three per-block residuals: the ln2 output (fc1's
+            # backward input) and both wide bf16[B, S, 4*dim] MLP hiddens
+            # (the fc1 output needed by gelu's backward and the gelu
+            # output needed by fc2's backward) — the measured driver of
+            # the ViT b=128 HBM collapse (BENCH.md round 4 finding 3).
+            # Recompute cost: one LN + fc1 matmul + gelu ≈ 1/3 of block
+            # forward FLOPs.
+            t = nn.LayerNorm(epsilon=1e-6, dtype=blk.dtype,
+                             param_dtype=jnp.float32, name="ln2")(t)
+            t = nn.Dense(hidden, dtype=blk.dtype, param_dtype=jnp.float32,
+                         kernel_init=torch_linear_init(blk.dim),
+                         name="fc1")(t)
+            return nn.gelu(t)
+
+        mlp_fn = nn.remat(mlp_in) if self.mlp_remat else mlp_in
+        h = mlp_fn(self, x)
         h = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                      kernel_init=torch_linear_init(hidden), name="fc2")(h)
         return x + h
@@ -159,10 +163,11 @@ class ViT(nn.Module):
     #            Pallas flash-attention kernel (probs never reach HBM in
     #            fwd OR bwd; tile-wise recompute in VMEM). TPU only;
     #            falls back to "attn" semantics on other backends.
-    #   "mlp"  — recompute the fc1+gelu span in the backward: frees the
-    #            two wide bf16[B, S, 4*dim] MLP hidden residuals (the
-    #            measured driver of the b=128 collapse, BENCH.md round 4
-    #            finding 3) at ~1/3 block-forward-FLOP recompute
+    #   "mlp"  — recompute the ln2+fc1+gelu span in the backward: frees
+    #            the ln2 output and the two wide bf16[B, S, 4*dim] MLP
+    #            hidden residuals (the measured driver of the b=128
+    #            collapse, BENCH.md round 4 finding 3) at ~1/3
+    #            block-forward-FLOP recompute
     #   "attn_mlp" — both of the above: checkpointed attention + fc1/gelu
     #            remat; the targeted answer to large-batch HBM pressure
     remat: Union[bool, str] = False
