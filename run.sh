@@ -61,7 +61,10 @@ stage2_eval() {  # supervised finetune/eval of selected MLC checkpoints
     done
 }
 
-stage1_ssl
-stage1_eval
-stage2_mlc
-stage2_eval
+# per-stage wall-clock markers (BENCH.md recipe-run table)
+stamp() { echo "=== $1 $(date +%s) $(date -u +%FT%TZ) ==="; }
+
+stamp stage1_ssl:start;  stage1_ssl;  stamp stage1_ssl:end
+stamp stage1_eval:start; stage1_eval; stamp stage1_eval:end
+stamp stage2_mlc:start;  stage2_mlc;  stamp stage2_mlc:end
+stamp stage2_eval:start; stage2_eval; stamp stage2_eval:end

@@ -51,19 +51,15 @@ def _maybe_distributed(args):
     """--coordinator host:port (+ --num-processes/--process-id) brings up
     jax.distributed before any mesh/backend use — the CLI surface of the
     reference's init_process_group + mp.spawn launcher
-    (misc.py:390-415, backbone_train.py:626-631). Non-zero processes log
-    into '<log_path>_rankN' so increment_path run dirs don't collide on
-    a shared filesystem (the reference writes per-rank log files)."""
+    (misc.py:390-415, backbone_train.py:626-631). All ranks share ONE run
+    dir (resolved by rank 0 in _setup and broadcast); non-zero ranks
+    write per-rank `log.txt.rank{N}` files (reference logger.py:44-63)."""
     if not getattr(args, "coordinator", None):
         return
     from sm3x.parallel import distributed_initialize
 
     distributed_initialize(args.coordinator, args.num_processes,
                            args.process_id)
-    import jax
-
-    if jax.process_index() > 0:
-        args.log_path = f"{args.log_path}_rank{jax.process_index()}"
 
 
 def _capture_errors(log_path: str, fn):
@@ -78,10 +74,20 @@ def _capture_errors(log_path: str, fn):
 
 
 def _setup(args, cfg, logger_name: str):
-    args.log_path = str(increment_path(args.log_path, sep="_", mkdir=True))
+    from sm3x.parallel import broadcast_string, process_info
+
+    rank, world = process_info()
+    if rank == 0:
+        args.log_path = str(increment_path(args.log_path, sep="_", mkdir=True))
+    if world > 1:
+        # rank 0 resolved the run dir; every rank adopts it (independent
+        # increment_path resolution would race on a shared filesystem)
+        args.log_path = broadcast_string(args.log_path)
+        os.makedirs(args.log_path, exist_ok=True)
     cfg.run.log_path = args.log_path
-    save_args(asdict_flat(cfg), os.path.join(args.log_path, "configs.txt"))
-    logger = setup_logger(args.log_path, logger_name)
+    if rank == 0:
+        save_args(asdict_flat(cfg), os.path.join(args.log_path, "configs.txt"))
+    logger = setup_logger(args.log_path, logger_name, distributed_rank=rank)
     fix_random_seeds(cfg.run.seed)
     return logger
 
@@ -109,13 +115,19 @@ def backbone_train_main():
                         "'=attn' = recompute only the attention internals in "
                         "the backward; '=mlp' = recompute the fc1+gelu span; "
                         "'=attn_mlp' = both; '=flash' = fused Pallas flash-"
-                        "attention (TPU; attn/mlp/flash are ViT backbones "
-                        "only); "
+                        "attention (TPU; attn/mlp/attn_mlp/flash are ViT "
+                        "backbones only); "
                         "'=off' = XLA save-all residuals. ViT SSL defaults "
                         "to 'attn' (measured faster at every batch size, "
                         "identical numerics — BENCH.md round 4)")
     parser.add_argument("--use-pallas-ntxent", action="store_true",
                         help="fused Pallas NT-Xent kernel in the SSL loss")
+    parser.add_argument("--negatives", choices=("local", "global"),
+                        default="local",
+                        help="NT-Xent negative pool (SURVEY §2c): 'local' "
+                        "contrasts within each of --world-size per-device "
+                        "groups (reference semantics, simclr.py:54-93); "
+                        "'global' uses the full global batch as negatives")
     parser.add_argument("--bn-stat-freq", type=int, default=1,
                         help="EXPERIMENTAL throughput knob (+11%% at K=4): "
                         "refresh BN batch statistics only every K-th step; "

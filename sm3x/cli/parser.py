@@ -186,6 +186,7 @@ def ssl_config(args) -> SSLConfig:
         use_pallas_augment=getattr(args, "use_pallas_augment", False),
         local_loss_weight=getattr(args, "local_loss_weight", 1.0),
         bn_stat_freq=getattr(args, "bn_stat_freq", 1),
+        negatives=getattr(args, "negatives", "local"),
     )
     return SSLConfig(data=data, model=model, optim=optim, run=run,
                      modality_weights=tuple(args.modality_weights))

@@ -9,9 +9,11 @@ from sm3x.core.mesh import (  # noqa: F401
 )
 from sm3x.parallel.collectives import (  # noqa: F401
     all_gather_varlen,
+    broadcast_string,
     cross_replica_mean,
     distributed_initialize,
     host_gather,
+    process_info,
 )
 
 __all__ = [
@@ -23,7 +25,9 @@ __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
     "all_gather_varlen",
+    "broadcast_string",
     "cross_replica_mean",
     "distributed_initialize",
     "host_gather",
+    "process_info",
 ]

@@ -31,6 +31,39 @@ def cross_replica_mean(x, axis_name: str = "data"):
     return jax.lax.pmean(x, axis_name)
 
 
+def process_info() -> tuple:
+    """(process_id, num_processes) WITHOUT forcing backend initialization:
+    reads the jax.distributed runtime state directly, so logging/setup
+    code can be rank-aware before any device is touched (jax.process_*
+    would initialize the pinned TPU backend as a side effect)."""
+    try:
+        from jax._src import distributed
+
+        gs = distributed.global_state
+        return int(gs.process_id or 0), int(gs.num_processes or 1)
+    except Exception:
+        return 0, 1
+
+
+def broadcast_string(s: str, max_len: int = 1024) -> str:
+    """Agree on a string across processes (rank 0 wins). Used to share a
+    rank-0-resolved run directory so every rank logs into the SAME dir
+    (the reference's mp.spawn workers inherit the parent's dump_path,
+    tools/backbone_train.py:626-631; independent per-rank increment_path
+    resolution would race on a shared filesystem). No-op single-process."""
+    import numpy as np
+
+    if process_info()[1] == 1:
+        return s
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros(max_len, dtype=np.uint8)
+    raw = s.encode("utf-8")[:max_len]
+    buf[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return bytes(out[out != 0]).decode("utf-8")
+
+
 def host_gather(x):
     """Fetch a (possibly multi-host-sharded) global array to a full host
     numpy array on EVERY process. Single-process: a plain device->host

@@ -31,21 +31,40 @@ class _ElapsedFormatter(logging.Formatter):
         return f"{prefix} {record.name} {record.levelname}: {record.getMessage()}"
 
 
-@functools.lru_cache(maxsize=None)
 def setup_logger(output: Optional[str] = None, name: str = "sm3x",
-                 to_stdout: bool = True) -> logging.Logger:
+                 to_stdout: bool = True,
+                 distributed_rank: Optional[int] = None) -> logging.Logger:
+    """Rank-aware logger (reference logger.py:44-63 semantics): stdout on
+    rank 0 only; every rank writes a file, non-zero ranks with a
+    `.rank{N}` suffix so same-dir multi-process runs never interleave.
+    `distributed_rank=None` auto-detects from the jax.distributed runtime
+    state (0 when not distributed) — normalized BEFORE the handler cache
+    so auto and explicit calls share one entry."""
+    if distributed_rank is None:
+        from sm3x.parallel.collectives import process_info
+
+        distributed_rank = process_info()[0]
+    return _setup_logger_cached(output, name, to_stdout, distributed_rank)
+
+
+@functools.lru_cache(maxsize=None)
+def _setup_logger_cached(output: Optional[str], name: str, to_stdout: bool,
+                         distributed_rank: int) -> logging.Logger:
     logger = logging.getLogger(name)
     logger.setLevel(logging.DEBUG)
     logger.propagate = False
     fmt = _ElapsedFormatter()
-    if to_stdout:
+    if to_stdout and distributed_rank == 0:
         ch = logging.StreamHandler(stream=sys.stdout)
         ch.setLevel(logging.DEBUG)
         ch.setFormatter(fmt)
         logger.addHandler(ch)
     if output:
         os.makedirs(output, exist_ok=True)
-        fh = logging.FileHandler(os.path.join(output, "log.txt"))
+        filename = "log.txt"
+        if distributed_rank > 0:
+            filename += f".rank{distributed_rank}"
+        fh = logging.FileHandler(os.path.join(output, filename))
         fh.setLevel(logging.DEBUG)
         fh.setFormatter(fmt)
         logger.addHandler(fh)

@@ -3,8 +3,11 @@ story (tools/backbone_train.py:626-631) replayed as two real
 `tools/backbone_train.py` processes joined by --coordinator. Exercises
 the full multi-host stack through the actual CLI surface: jax.distributed
 bring-up, ProcessShardedData input feeding (auto-selected at
-process_count 2), cross-process grad psum + global-batch BN, per-rank log
-dirs. Slow-gated: two concurrent compiles on shared CPUs."""
+process_count 2), cross-process grad psum + global-batch BN, and the
+shared-run-dir logging contract (rank 0 resolves the run dir and owns
+stdout + log.txt; rank 1 adopts it via broadcast and writes
+log.txt.rank1 — reference logger.py:44-63). Slow-gated: two concurrent
+compiles on shared CPUs."""
 
 import os
 import subprocess
@@ -34,7 +37,7 @@ def test_two_process_cli_backbone_train(tmp_path):
                    SM3X_COMPILATION_CACHE=str(tmp_path / f"cache_{i}"),
                    PYTHONPATH=REPO)
         log = str(tmp_path / "run")
-        logs.append(log if i == 0 else f"{log}_rank{i}")
+        logs.append(log)  # both ranks share ONE run dir
         procs.append(subprocess.Popen(
             [sys.executable, os.path.join(REPO, "tools", "backbone_train.py"),
              "--data-name", "SevenPCBaseDataset", "--data-path", data,
@@ -58,13 +61,18 @@ def test_two_process_cli_backbone_train(tmp_path):
             if p.poll() is None:
                 p.kill()
     assert all(p.returncode == 0 for p in procs), "\n".join(outs)
+    # rank 0 logs to stdout + log.txt; rank 1 ONLY to log.txt.rank1 in
+    # the SAME run dir (per-rank file parity, reference logger.py:44-63)
+    with open(os.path.join(logs[1], "log.txt.rank1")) as f:
+        rank1_log = f.read()
+    assert "Epoch 0: loss" not in outs[1], "rank 1 must not log to stdout"
     losses = []
-    for out in outs:
+    for out in (outs[0], rank1_log):
         lines = [l for l in out.splitlines() if "Epoch 0: loss" in l]
         assert lines, out
         losses.append(float(lines[-1].split("loss")[1].split()[0]))
     # the loss is replicated after the cross-process psum
     assert losses[0] == losses[1], losses
-    # rank 0 checkpoints into its run dir; rank 1 logged into _rank1
+    # rank 0 checkpoints into the shared run dir
     assert os.path.isfile(os.path.join(logs[0], "ckp_0.msgpack"))
-    assert os.path.isdir(logs[1])
+    assert os.path.isfile(os.path.join(logs[0], "log.txt"))

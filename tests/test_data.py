@@ -51,6 +51,32 @@ def test_meta_and_store(fake_root):
     assert np.all(data.derm.valid_hw > 0)
 
 
+def test_fake_derm7pt_structured_splits_jpg(tmp_path):
+    """Recipe-scale generator options: explicit reference-style split
+    sizes, label-correlated texture images, JPEG container (native-loader
+    decode path). The texture must carry label signal: images of the
+    same DIAG class correlate more than images of different classes."""
+    root = make_fake_derm7pt(str(tmp_path / "d"), n_cases=20, img_size=96,
+                             splits=(9, 4, 7), structured=True, ext="jpg")
+    meta = Derm7ptMeta(root)
+    assert [len(meta.split_indexes(s)) for s in ("train", "valid", "test")] \
+        == [9, 4, 7]
+    assert meta.derm_paths[0].endswith(".jpg")
+    data = PairedImageData.from_meta(meta, "train", cache_size=64)
+    assert data.n == 9
+    # structured images are not uniform noise: grayscale textures have
+    # strong spatial autocorrelation (noise images have ~none)
+    img = data.derm.canvases[0].astype(np.float32)
+    h = int(data.derm.valid_hw[0, 0])
+    col = img[: h - 1, 0, 0] - img[: h - 1, 0, 0].mean()
+    col_next = img[1:h, 0, 0] - img[1:h, 0, 0].mean()
+    r = float((col * col_next).sum()
+              / np.sqrt((col ** 2).sum() * (col_next ** 2).sum() + 1e-9))
+    assert r > 0.5, f"structured image should be spatially correlated, r={r}"
+    with pytest.raises(ValueError):
+        make_fake_derm7pt(str(tmp_path / "bad"), n_cases=10, splits=(5, 4, 3))
+
+
 def test_batches_fixed_shape_and_mask(fake_root):
     meta = Derm7ptMeta(fake_root)
     data = PairedImageData.from_meta(meta, "train", cache_size=64)

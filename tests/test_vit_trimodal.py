@@ -22,8 +22,9 @@ def test_vit_forward_shapes():
                                    "attn_mlp"])
 def test_vit_remat_modes_grad_parity(remat):
     """Every rung of the activation-memory ladder (full-block remat,
-    'dots' policy, checkpointed-attention 'attn', and 'flash' — which on
-    this CPU test mesh statically falls back to the 'attn' path) must be
+    'dots' policy, checkpointed-attention 'attn', the fc1+gelu 'mlp'
+    span, their union 'attn_mlp', and 'flash' — which on this CPU test
+    mesh statically falls back to the 'attn' path) must be
     differentiable and produce the same gradients as the un-rematted ViT
     (remat changes scheduling, not math)."""
     x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)),

@@ -48,33 +48,13 @@ def make_structured_dataset(n=192, size=160, seed=0):
     meta = np.where(noise_mask, noise_vals, meta)
 
     def render(label, modality_shift):
-        # Labels are encoded in LUMINANCE TEXTURE (grating orientation /
-        # frequency), which survives the SSL augmentations — ColorJitter
-        # and grayscale destroy hue/brightness codes, so color-coded
-        # labels would be actively unlearned by contrastive training.
-        yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
-        phase = rng.uniform(0, 2 * np.pi, 4)
-        # Per-image IDENTITY = continuous jitter AROUND label-determined
-        # texture parameters. Instance discrimination must then encode the
-        # continuous parameters (orientation/frequencies), and the linear
-        # probe recovers the labels by thresholding them — like real
-        # lesions, where the instance's appearance IS the label evidence.
-        theta = np.pi * (label[0] + rng.uniform(0.1, 0.9)) / 5.0 + modality_shift
-        f1 = 6 + 3 * (label[1] + rng.uniform(0.1, 0.9))
-        f2 = 4 + 4 * (label[3] + rng.uniform(0.1, 0.9))
-        f3 = 5 + 5 * (label[4] + rng.uniform(0.1, 0.9))
-        u = xx * np.cos(theta) + yy * np.sin(theta)
-        tex = 0.5 * np.sin(2 * np.pi * f1 * u + phase[0])
-        tex += 0.4 * np.sin(2 * np.pi * f2 * yy + phase[1])
-        tex += 0.3 * np.sin(2 * np.pi * f3 * xx + phase[2])
-        if label[2]:  # BWV: checkerboard component
-            tex += rng.uniform(0.3, 0.5) * np.sign(
-                np.sin(2 * np.pi * 8 * xx + phase[3])
-                * np.sin(2 * np.pi * 8 * yy))
-        base = 128 + 55 * tex / 1.6
-        img = np.stack([base, base, base], axis=-1)
-        noise = rng.normal(0, 10, img.shape)
-        return np.clip(img + noise, 0, 255).astype(np.uint8)
+        # label-correlated luminance texture (the shared generator also
+        # backs recipe-scale make_fake_derm7pt(structured=True) runs);
+        # same rng-call sequence as the historical in-file renderer, so
+        # the BENCH.md demo numbers stay reproducible
+        from sm3x.data.synthetic import render_label_texture
+
+        return render_label_texture(rng, label, modality_shift, size)
 
     class ArrayStore:
         pass
