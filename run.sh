@@ -11,8 +11,15 @@ set -euo pipefail
 
 DATA="${DATA:-./data/7PC}"
 STATS=(--mean 0.7833 0.6712 0.6026 --std 0.2139 0.2472 0.2571)
+# Rolling-checkpoint cadence (crash protection only; training math and
+# the ckp_N/best_eval artifacts are unaffected). The reference overwrites
+# checkpoint.pth every epoch on a local GPU box; over a TUNNELED chip the
+# ~600 MB device->host state fetch costs ~35 s/epoch against ~1 s of step
+# compute (BENCH.md round 5) — default to the save-freq cadence instead.
+CKPT_FREQ="${CKPT_FREQ:-50}"
 BASE=(-a resnet50 --data-name SevenPCBaseDataset --data-path "$DATA"
-      --img-sz 224 224 --num-labels 8 "${STATS[@]}")
+      --img-sz 224 224 --num-labels 8 --ckpt-freq "$CKPT_FREQ"
+      "${STATS[@]}")
 SSL_LOG="${SSL_LOG:-./logs/backbone}"
 MLC_LOG="${MLC_LOG:-./logs/mlc_train}"
 ARCH_WEIGHTS="${ARCH_WEIGHTS:-}"

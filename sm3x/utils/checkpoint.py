@@ -24,7 +24,13 @@ from flax import serialization
 
 
 def _to_host(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    """ONE batched async device->host fetch: jax.device_get starts every
+    leaf's copy_to_host_async before blocking, so transfers overlap.
+    Leaf-by-leaf np.asarray costs a full device round-trip PER LEAF —
+    ~1500 leaves x tunnel RTT made the recipe run's per-epoch rolling
+    checkpoint 75 s against 1.2 s of step compute (round 5). The outer
+    np.asarray map only normalizes any remaining non-array leaves."""
+    return jax.tree.map(np.asarray, jax.device_get(tree))
 
 
 def save_checkpoint(path: str, tree: Dict[str, Any]):
