@@ -45,6 +45,15 @@ def process_info() -> tuple:
         return 0, 1
 
 
+def is_main_process() -> bool:
+    """True on the process that owns filesystem artifacts (rank 0). All
+    ranks share ONE run dir since round 5, so checkpoint/best/ckp_N
+    writes must be rank-0-only or same-name .tmp atomic renames race
+    (the reference gates saves on rank 0 the same way,
+    backbone_train.py:578)."""
+    return process_info()[0] == 0
+
+
 def broadcast_string(s: str, max_len: int = 1024) -> str:
     """Agree on a string across processes (rank 0 wins). Used to share a
     rank-0-resolved run directory so every rank logs into the SAME dir

@@ -24,7 +24,7 @@ from sm3x.train.supervised import (
     make_supervised_steps, run_train_epoch, run_eval_epoch, collect_eval_logits,
 )
 from sm3x.utils.logging import StatWriter
-from sm3x.utils import setup_logger, save_checkpoint
+from sm3x.utils import setup_logger
 from sm3x.metrics import write_results_csv
 from sm3x.data.prefetch import resident_nbytes, wrap_from_config
 
@@ -125,11 +125,8 @@ class BackboneEvalTrainer(common.CheckpointableTrainer):
             self.writer.log(va, epoch, "val/")
             if va["AUC_AVG"] > best_auc:
                 best_auc = self.best_auc = va["AUC_AVG"]
-                save_checkpoint(
-                    os.path.join(cfg.run.log_path, "best_eval.msgpack"),
-                    {"epoch": epoch + 1, "params": self.state.params,
-                     "batch_stats": self.state.batch_stats,
-                     "best_val_auc": best_auc})
+                # device-side stash; persisted once after the loop
+                self.stash_best(epoch, best_auc)
             self.epoch_checkpoint(epoch)
             self.logger.info(
                 f"Epoch {epoch}: train loss {tr['loss']:.4f}, "
@@ -137,6 +134,7 @@ class BackboneEvalTrainer(common.CheckpointableTrainer):
                 f"({(time.time() - t0) / 60:.2f} min)")
             if self.preemption_break(epoch):
                 break
+        self.write_best()
         self.finish_checkpoints()
         return best_auc
 

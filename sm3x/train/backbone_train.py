@@ -469,7 +469,10 @@ class SSLTrainer(common.CheckpointableTrainer):
                 f"Epoch {epoch}: loss {stat['loss']:.4f} "
                 f"({(time.time() - t0) / 60:.2f} min)")
             self.epoch_checkpoint(epoch)
-            if (epoch + 1) % cfg.run.save_freq == 0 or (epoch + 1) == cfg.optim.epochs:
+            from sm3x.parallel.collectives import is_main_process
+
+            if ((epoch + 1) % cfg.run.save_freq == 0
+                    or (epoch + 1) == cfg.optim.epochs) and is_main_process():
                 self.save(os.path.join(cfg.run.log_path, f"ckp_{epoch}.msgpack"),
                           epoch)
             if self.preemption_break(epoch):

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Any, Callable
 
 import jax
+import jax.numpy as jnp
 import optax
 from flax.training import train_state
 
@@ -196,12 +197,16 @@ class CheckpointableTrainer:
         """Rolling per-epoch save at ckpt_freq cadence: an orbax step in
         orbax mode, the single checkpoint.msgpack file otherwise (the
         reference overwrites `checkpoint.pth` every epoch,
-        backbone_train.py:578-584)."""
+        backbone_train.py:578-584). Rank-0-only: the state is replicated
+        and every rank shares one run dir."""
         import os
 
+        from sm3x.parallel.collectives import is_main_process
         from sm3x.utils import save_checkpoint
 
         if (epoch + 1) % max(self.cfg.run.ckpt_freq, 1) != 0:
+            return
+        if not is_main_process():
             return
         if self.use_orbax:
             self._ckpt_manager().save(epoch + 1, self._state_tree(epoch))
@@ -305,6 +310,41 @@ class CheckpointableTrainer:
         self.state = self.state.replace(
             params=params, batch_stats=batch_stats, opt_state=opt_state)
 
+    def stash_best(self, epoch: int, best_val_auc: float):
+        """Record the current params/batch_stats as the best model using
+        DEVICE-side copies (HBM->HBM, microseconds) instead of writing
+        best_eval.msgpack inline: the ~12 s device->host fetch + disk
+        write per val-AUC improvement stalled the eval epoch loop ~10x
+        per run in the round-5 recipe run. Copies are required — the
+        live state buffers are donated into the next train step.
+        `write_best()` persists the stash once, after the epoch loop."""
+        self._best_tree = {
+            "epoch": epoch + 1,
+            "params": jax.tree.map(jnp.copy, self.state.params),
+            "batch_stats": jax.tree.map(jnp.copy, self.state.batch_stats),
+            "best_val_auc": best_val_auc,
+        }
+
+    def write_best(self):
+        """Persist the stashed best model (no-op when nothing improved).
+        Called after the epoch loop — including the preemption-break
+        path, so a graceful preemption still lands best_eval.msgpack."""
+        import os
+
+        from sm3x.utils import save_checkpoint
+
+        from sm3x.parallel.collectives import is_main_process
+
+        tree = getattr(self, "_best_tree", None)
+        if tree is None or not is_main_process():
+            return
+        path = os.path.join(self.cfg.run.log_path, "best_eval.msgpack")
+        save_checkpoint(path, tree)
+        self._best_tree = None
+        self.logger.info(
+            f"wrote {path} (epoch {tree['epoch']}, "
+            f"val AUC {tree['best_val_auc']:.4f})")
+
     def warn_unconsumed_lr_schedule(self):
         """--use-lr-schedule is consumed by the SSL trainer only; the other
         stages must say so instead of silently training at constant lr."""
@@ -326,10 +366,12 @@ class CheckpointableTrainer:
             return
         import os
 
+        from sm3x.parallel.collectives import is_main_process
         from sm3x.utils import save_checkpoint
 
         path = os.path.join(self.cfg.run.log_path, "nan_dump.msgpack")
-        save_checkpoint(path, self._state_tree(epoch))
+        if is_main_process():
+            save_checkpoint(path, self._state_tree(epoch))
         self.logger.error(
             f"non-finite loss {loss} at epoch {epoch}; state dumped to {path}")
         raise FloatingPointError(
@@ -394,8 +436,12 @@ class CheckpointableTrainer:
             return False
         import os
 
+        from sm3x.parallel.collectives import is_main_process
         from sm3x.utils import save_checkpoint
 
+        if not is_main_process():
+            # rank 0 owns the shared run dir's files; peers just break
+            return True
         if self.use_orbax:
             mgr = self._ckpt_manager()
             mgr.wait()  # settle in-flight async saves before checking

@@ -24,7 +24,7 @@ from sm3x.train.supervised import (
 )
 from sm3x.utils.logging import StatWriter
 from sm3x.utils import (
-    BestRecorder, setup_logger, save_checkpoint, create_eval_stat,
+    BestRecorder, setup_logger, create_eval_stat,
 )
 from sm3x.metrics import write_results_csv
 from sm3x.data.prefetch import resident_nbytes, wrap_from_config
@@ -151,11 +151,8 @@ class MLCEvalTrainer(common.CheckpointableTrainer):
             is_best = va["AUC_AVG"] > best_auc
             if is_best:
                 best_auc = self.best_auc = va["AUC_AVG"]
-                save_checkpoint(
-                    os.path.join(cfg.run.log_path, "best_eval.msgpack"),
-                    {"epoch": epoch + 1, "params": self.state.params,
-                     "batch_stats": self.state.batch_stats,
-                     "best_val_auc": best_auc})
+                # device-side stash; persisted once after the loop
+                self.stash_best(epoch, best_auc)
             self.epoch_checkpoint(epoch)
             self.logger.info(
                 f"Epoch {epoch}: train loss {tr['loss']:.4f}, "
@@ -170,6 +167,7 @@ class MLCEvalTrainer(common.CheckpointableTrainer):
                 + generate_stat_text(tr, va, summary, METRICS_NAME, CLASSES_NAME))
             if self.preemption_break(epoch):
                 break
+        self.write_best()
         self.finish_checkpoints()
         return best_auc
 

@@ -288,7 +288,10 @@ class MLCTrainer(common.CheckpointableTrainer):
                 f"Epoch {epoch}: loss {stat['loss']:.4f} "
                 f"({(time.time() - t0) / 60:.2f} min)")
             self.epoch_checkpoint(epoch)
-            if (epoch + 1) % cfg.run.save_freq == 0 or (epoch + 1) == cfg.optim.epochs:
+            from sm3x.parallel.collectives import is_main_process
+
+            if ((epoch + 1) % cfg.run.save_freq == 0
+                    or (epoch + 1) == cfg.optim.epochs) and is_main_process():
                 # cross-stage surgery milestone (mlc_eval loads params +
                 # batch_stats from these; the full resumable state lives in
                 # the rolling epoch_checkpoint)
