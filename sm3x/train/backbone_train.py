@@ -422,6 +422,8 @@ class SSLTrainer(common.CheckpointableTrainer):
         return {"loss": losses.avg}
 
     def save(self, path: str, epoch: int):
+        """Synchronous single-shot save (external callers); the epoch
+        loop uses save_async."""
         save_checkpoint(path, self._state_tree(epoch))
 
     def _apply_lr_schedule(self, steps_per_epoch: int):
@@ -473,8 +475,10 @@ class SSLTrainer(common.CheckpointableTrainer):
 
             if ((epoch + 1) % cfg.run.save_freq == 0
                     or (epoch + 1) == cfg.optim.epochs) and is_main_process():
-                self.save(os.path.join(cfg.run.log_path, f"ckp_{epoch}.msgpack"),
-                          epoch)
+                # async: the ~600 MB fetch+write overlaps the next epochs
+                self.save_async(
+                    os.path.join(cfg.run.log_path, f"ckp_{epoch}.msgpack"),
+                    self._state_tree(epoch))
             if self.preemption_break(epoch):
                 break
         self.finish_checkpoints()

@@ -193,16 +193,44 @@ class CheckpointableTrainer:
                 max_to_keep=self.cfg.run.ckpt_keep)
         return self._orbax
 
+    def save_async(self, path: str, tree):
+        """Write a checkpoint WITHOUT blocking the epoch loop on the
+        device->host link (~35 s for the ~600 MB dual-ResNet-50 state
+        over a tunneled chip, BENCH.md round 5): snapshot every device
+        leaf into fresh buffers (HBM->HBM copy, microseconds — required
+        because the live state is donated into the next train step),
+        then fetch + serialize + write on a background thread. One
+        in-flight save at a time bounds the extra HBM to one state."""
+        import threading
+
+        from sm3x.utils import save_checkpoint
+
+        snap = jax.tree.map(
+            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, tree)
+        self.flush_saves()  # serialize writes; bound snapshot memory
+        t = threading.Thread(target=save_checkpoint, args=(path, snap))
+        t.start()
+        self._save_thread = t
+
+    def flush_saves(self):
+        """Join the in-flight async checkpoint write, surfacing any
+        exception location via the thread's join (writes must land
+        before exit/preemption/resume)."""
+        t = getattr(self, "_save_thread", None)
+        if t is not None:
+            t.join()
+            self._save_thread = None
+
     def epoch_checkpoint(self, epoch: int):
         """Rolling per-epoch save at ckpt_freq cadence: an orbax step in
         orbax mode, the single checkpoint.msgpack file otherwise (the
         reference overwrites `checkpoint.pth` every epoch,
         backbone_train.py:578-584). Rank-0-only: the state is replicated
-        and every rank shares one run dir."""
+        and every rank shares one run dir. msgpack writes go through
+        save_async (the epoch loop never blocks on the link)."""
         import os
 
         from sm3x.parallel.collectives import is_main_process
-        from sm3x.utils import save_checkpoint
 
         if (epoch + 1) % max(self.cfg.run.ckpt_freq, 1) != 0:
             return
@@ -211,11 +239,12 @@ class CheckpointableTrainer:
         if self.use_orbax:
             self._ckpt_manager().save(epoch + 1, self._state_tree(epoch))
         else:
-            save_checkpoint(
+            self.save_async(
                 os.path.join(self.cfg.run.log_path, "checkpoint.msgpack"),
                 self._state_tree(epoch))
 
     def finish_checkpoints(self):
+        self.flush_saves()
         if self._orbax is not None:
             self._orbax.wait()
         # the epoch loop is over; later phases no longer poll the flag
@@ -442,6 +471,7 @@ class CheckpointableTrainer:
         if not is_main_process():
             # rank 0 owns the shared run dir's files; peers just break
             return True
+        self.flush_saves()  # settle in-flight async writes first
         if self.use_orbax:
             mgr = self._ckpt_manager()
             mgr.wait()  # settle in-flight async saves before checking

@@ -33,8 +33,7 @@ from sm3x.ops.kmeans import spherical_kmeans
 from sm3x.train import common
 from sm3x.data.prefetch import wrap_from_config
 from sm3x.utils.logging import StatWriter
-from sm3x.utils import (AverageMeter, ProgressMeter, setup_logger,
-                        save_checkpoint)
+from sm3x.utils import AverageMeter, ProgressMeter, setup_logger
 
 
 def make_mlc_train_step(model, temperature: float, mean, std, aug_cfg,
@@ -294,8 +293,8 @@ class MLCTrainer(common.CheckpointableTrainer):
                     or (epoch + 1) == cfg.optim.epochs) and is_main_process():
                 # cross-stage surgery milestone (mlc_eval loads params +
                 # batch_stats from these; the full resumable state lives in
-                # the rolling epoch_checkpoint)
-                save_checkpoint(
+                # the rolling epoch_checkpoint); async — overlaps epochs
+                self.save_async(
                     os.path.join(cfg.run.log_path, f"ckp_{epoch}.msgpack"),
                     {"epoch": epoch + 1,
                      "params": self.state.params,

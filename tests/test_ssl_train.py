@@ -106,6 +106,52 @@ def test_ssl_train_step_deterministic(tiny_cfg, trainer):
 # trainer construction, no big program) and stays in-process.
 
 
+def test_async_ckpt_snapshot_is_donation_safe(tmp_path):
+    """ckp_N saves run on a background thread off DEVICE-side snapshots
+    while later epochs donate the live buffers. The async-written ckp_0
+    must equal byte-for-byte what a deterministic 1-epoch run of the
+    same config holds at its end — a corrupted-by-donation snapshot
+    cannot pass this."""
+    from sm3x.data.datasets import build_dataset
+    from sm3x.data.synthetic import make_fake_derm7pt
+    from sm3x.utils.checkpoint import load_checkpoint
+
+    root = str(tmp_path / "data")
+    make_fake_derm7pt(root, n_cases=8, img_size=56)
+    data = build_dataset("SevenPCBaseDataset", root, "train", cache_size=64)
+
+    def cfg(epochs, log):
+        return SSLConfig(
+            data=DataConfig(img_sz=(32, 32)),
+            model=ModelConfig(arch="resnet18", arch_version="v32",
+                              proj_dim=16, temperature=0.1),
+            optim=OptimConfig(epochs=epochs, batch_size=8, base_lr=1e-3,
+                              amp=False),
+            run=RunConfig(log_path=str(tmp_path / log), seed=0, save_freq=1,
+                          ckpt_freq=100, world_size=2),
+        )
+
+    t3 = SSLTrainer(cfg(3, "a"))
+    t3.fit(data)  # writes ckp_0/1/2 asynchronously, donating in between
+    t1 = SSLTrainer(cfg(1, "b"))
+    t1.fit(data)  # deterministic twin stopped where ckp_0 was taken
+
+    saved = load_checkpoint(str(tmp_path / "a" / "ckp_0.msgpack"))
+    expect = jax.device_get(t1.state.params)
+    got = saved["params"]
+    for path, a in jax.tree_util.tree_flatten_with_path(expect)[0]:
+        b = got
+        for k in path:
+            b = b[k.key]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(path))
+    # and training actually progressed past the snapshot
+    final = jax.device_get(t3.state.params)
+    assert any(
+        not np.array_equal(x, y)
+        for x, y in zip(jax.tree.leaves(expect), jax.tree.leaves(final)))
+
+
 def test_ssl_multicrop_rejects_bad_recipe(tmp_path):
     """nmb_crops must start with the 2 global views; list lengths must
     agree."""
