@@ -470,15 +470,23 @@ class SSLTrainer(common.CheckpointableTrainer):
             self.logger.info(
                 f"Epoch {epoch}: loss {stat['loss']:.4f} "
                 f"({(time.time() - t0) / 60:.2f} min)")
-            self.epoch_checkpoint(epoch)
             from sm3x.parallel.collectives import is_main_process
 
-            if ((epoch + 1) % cfg.run.save_freq == 0
-                    or (epoch + 1) == cfg.optim.epochs) and is_main_process():
-                # async: the ~600 MB fetch+write overlaps the next epochs
-                self.save_async(
-                    os.path.join(cfg.run.log_path, f"ckp_{epoch}.msgpack"),
-                    self._state_tree(epoch))
+            milestone = ((epoch + 1) % cfg.run.save_freq == 0
+                         or (epoch + 1) == cfg.optim.epochs)
+            rolling_due = (epoch + 1) % max(cfg.run.ckpt_freq, 1) == 0
+            if milestone and is_main_process():
+                # async ~600 MB fetch overlaps the next epochs; when the
+                # rolling checkpoint is due the SAME epoch it shares the
+                # one fetch (identical state) instead of a second stall
+                paths = [os.path.join(cfg.run.log_path,
+                                      f"ckp_{epoch}.msgpack")]
+                if rolling_due and not self.use_orbax:
+                    paths.append(os.path.join(cfg.run.log_path,
+                                              "checkpoint.msgpack"))
+                self.save_async(paths, self._state_tree(epoch))
+            if not (milestone and rolling_due and not self.use_orbax):
+                self.epoch_checkpoint(epoch)
             if self.preemption_break(epoch):
                 break
         self.finish_checkpoints()

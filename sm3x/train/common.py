@@ -193,22 +193,26 @@ class CheckpointableTrainer:
                 max_to_keep=self.cfg.run.ckpt_keep)
         return self._orbax
 
-    def save_async(self, path: str, tree):
+    def save_async(self, paths, tree):
         """Write a checkpoint WITHOUT blocking the epoch loop on the
         device->host link (~35 s for the ~600 MB dual-ResNet-50 state
         over a tunneled chip, BENCH.md round 5): snapshot every device
         leaf into fresh buffers (HBM->HBM copy, microseconds — required
         because the live state is donated into the next train step),
         then fetch + serialize + write on a background thread. One
-        in-flight save at a time bounds the extra HBM to one state."""
+        in-flight save at a time bounds the extra HBM to one state.
+        `paths` may be one path or several — several share ONE fetch
+        (save_checkpoint_many), the boundary-stall dedupe."""
         import threading
 
-        from sm3x.utils import save_checkpoint
+        from sm3x.utils.checkpoint import save_checkpoint_many
 
+        if isinstance(paths, str):
+            paths = [paths]
         snap = jax.tree.map(
             lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, tree)
         self.flush_saves()  # serialize writes; bound snapshot memory
-        t = threading.Thread(target=save_checkpoint, args=(path, snap))
+        t = threading.Thread(target=save_checkpoint_many, args=(paths, snap))
         t.start()
         self._save_thread = t
 

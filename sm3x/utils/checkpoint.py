@@ -37,14 +37,24 @@ def save_checkpoint(path: str, tree: Dict[str, Any]):
     """Atomic msgpack write of a host pytree. Tuples/namedtuples (optax
     states) pass through flax's state-dict form; restore structured
     leaves with `restore_into` when a typed target is available."""
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    return save_checkpoint_many([path], tree)[0]
+
+
+def save_checkpoint_many(paths, tree: Dict[str, Any]):
+    """One device fetch + one serialization, written to every path
+    (atomic each). A training-loop boundary often owes the SAME state to
+    two files (the rolling checkpoint.msgpack and the ckp_N milestone);
+    fetching the ~600 MB state once instead of per-file halves the
+    boundary stall on a bandwidth-bound link (BENCH.md round 5)."""
     state = serialization.to_state_dict(_to_host(tree))
     data = serialization.msgpack_serialize(state)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(data)
-    os.replace(tmp, path)
-    return path
+    for path in paths:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    return list(paths)
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
