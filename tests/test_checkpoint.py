@@ -27,6 +27,25 @@ def test_msgpack_roundtrip(tmp_path):
     np.testing.assert_array_equal(out["params"]["b"]["c"], tree["params"]["b"]["c"])
 
 
+def test_save_checkpoint_many_one_fetch_two_files(tmp_path):
+    """The boundary dedupe: one serialization written to N paths, each
+    atomic, byte-identical, and independently loadable."""
+    from sm3x.utils.checkpoint import save_checkpoint_many
+
+    tree = {"epoch": 7, "params": {"w": np.arange(8, dtype=np.float32)}}
+    p1 = os.path.join(tmp_path, "ckp_6.msgpack")
+    p2 = os.path.join(tmp_path, "checkpoint.msgpack")
+    out = save_checkpoint_many([p1, p2], tree)
+    assert out == [p1, p2]
+    with open(p1, "rb") as f1, open(p2, "rb") as f2:
+        assert f1.read() == f2.read()
+    for p in (p1, p2):
+        got = load_checkpoint(p)
+        assert got["epoch"] == 7
+        np.testing.assert_array_equal(got["params"]["w"], tree["params"]["w"])
+        assert not os.path.exists(p + ".tmp")
+
+
 def test_export_backbone_filters_heads():
     params = {
         "derm_backbone": {"encoder": {"conv1": {"kernel": np.zeros(1)}},
