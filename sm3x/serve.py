@@ -124,8 +124,13 @@ class Predictor(BucketedPredictor):
             c = eval_resize_batch(clinic, clinic_hw, self.mean, self.std,
                                   (test_sz, test_sz))
             _, preds = self.model.apply(self.variables, d, c)
-            return [jax.nn.softmax(p.astype(jnp.float32), axis=-1)
-                    for p in preds]
+            # ONE packed (B, sum C_i) output: fetching 8 per-head arrays
+            # costs 8 device->host round-trips per dispatch — the
+            # dominant term of the serialized serving path on a
+            # remote-attached chip (~23 ms RTT each, BENCH.md round 5)
+            return jnp.concatenate(
+                [jax.nn.softmax(p.astype(jnp.float32), axis=-1)
+                 for p in preds], axis=-1)
 
         self._fwd = fwd
 
@@ -143,8 +148,11 @@ class Predictor(BucketedPredictor):
         return cls(model, variables, mean, std, **kw)
 
     def _call(self, b, derm, derm_hw, clinic, clinic_hw):
-        return self._fwd(jnp.asarray(derm), jnp.asarray(derm_hw),
-                         jnp.asarray(clinic), jnp.asarray(clinic_hw))
+        packed = np.asarray(  # single fetch of the packed heads
+            self._fwd(jnp.asarray(derm), jnp.asarray(derm_hw),
+                      jnp.asarray(clinic), jnp.asarray(clinic_hw)))
+        offs = np.cumsum(self.num_classes)[:-1]
+        return np.split(packed, offs, axis=-1)
 
 
 __all__ = ["Predictor", "BucketedPredictor", "crop_border"]
