@@ -13,6 +13,8 @@ from sm3x.parallel.collectives import (  # noqa: F401
     cross_replica_mean,
     distributed_initialize,
     host_gather,
+    host_gather_tree,
+    is_main_process,
     process_info,
 )
 
@@ -29,5 +31,7 @@ __all__ = [
     "cross_replica_mean",
     "distributed_initialize",
     "host_gather",
+    "host_gather_tree",
+    "is_main_process",
     "process_info",
 ]

@@ -90,6 +90,23 @@ def host_gather(x):
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
+def host_gather_tree(tree):
+    """host_gather over a whole pytree in ONE batched operation.
+    Single-process: jax.device_get starts every leaf's async copy before
+    blocking — leaf-by-leaf host_gather pays one device round-trip per
+    leaf (8 heads × n_batches per eval epoch added ~0.7 s/epoch on a
+    remote-attached chip, BENCH.md round 5). Multi-process: one
+    process_allgather over the tree instead of one collective per leaf."""
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return jax.tree.map(np.asarray, jax.device_get(tree))
+    from jax.experimental import multihost_utils
+
+    return jax.tree.map(np.asarray,
+                        multihost_utils.process_allgather(tree, tiled=True))
+
+
 def all_gather_varlen(x, axis_name: str = "data", max_len: Optional[int] = None):
     """Variable-length all_gather (misc.py:629-659 semantics) inside a
     shard_map/pmap body: pad the leading dim to the cross-replica max,

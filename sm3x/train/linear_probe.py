@@ -21,7 +21,7 @@ from sm3x import NUM_CLASSES
 from sm3x.core import prng
 from sm3x.core.mesh import make_mesh, replicate, shard_batch
 from sm3x.losses import weighted_multilabel_ce
-from sm3x.parallel import host_gather
+from sm3x.parallel import host_gather_tree as _host_gather_tree
 from sm3x.metrics import compute_stage_metrics
 from sm3x.models.baseline import MultiHeadClassifier
 from sm3x.ops.augment import PROBE_AUG, eval_resize_batch, ssl_augment_batch
@@ -94,9 +94,10 @@ class LinearProbe:
             for batch in val_data.batches(batch_size, 0, seed, shuffle=False):
                 feats = extract_feats(batch, jax.random.key(0), False)
                 preds = self.eval_step(self.state.params, feats)
-                preds_all.append([host_gather(p) for p in preds])
+                preds_all.append(list(preds))  # device arrays
                 targets_all.append(batch.label)
                 masks.append(batch.mask)
+            preds_all = _host_gather_tree(preds_all)  # one batched fetch
             from sm3x.train.supervised import _concat_masked
 
             preds, targets = _concat_masked(preds_all, targets_all, masks)

@@ -22,7 +22,7 @@ import numpy as np
 from sm3x.core import prng
 from sm3x.core.mesh import shard_batch
 from sm3x.losses import weighted_multilabel_ce
-from sm3x.parallel import host_gather
+from sm3x.parallel import host_gather_tree
 from sm3x.metrics import compute_stage_metrics, mean_average_precision
 from sm3x.ops.augment import ssl_augment_batch, eval_resize_batch
 from sm3x.utils import AverageMeter
@@ -94,9 +94,10 @@ def run_train_epoch(trainer, data, epoch: int) -> dict:
         all_masks.append(batch.mask)
     for loss, n in pending:
         losses.update(float(loss), n)
-    # host_gather: multi-host processes only hold their addressable
-    # prediction shards; metrics run on the full set on every host
-    all_preds = [[host_gather(p) for p in preds] for preds in all_preds]
+    # one batched gather of the whole epoch's predictions: multi-host
+    # processes only hold their addressable shards; metrics run on the
+    # full set on every host
+    all_preds = host_gather_tree(all_preds)
     stats = _epoch_metrics(all_preds, all_targets, all_masks)
     stats["loss"] = losses.avg
     return stats
@@ -118,7 +119,7 @@ def run_eval_epoch(trainer, data, epoch: int = 0) -> dict:
         all_preds.append(preds)  # device arrays; gathered after the loop
         all_targets.append(batch.label)
         all_masks.append(batch.mask)
-    all_preds = [[host_gather(p) for p in preds] for preds in all_preds]
+    all_preds = host_gather_tree(all_preds)
     return _epoch_metrics(all_preds, all_targets, all_masks)
 
 
@@ -138,7 +139,7 @@ def collect_eval_logits(trainer, data):
         all_preds.append(preds)  # device arrays; gathered after the loop
         all_targets.append(batch.label)
         all_masks.append(batch.mask)
-    all_preds = [[host_gather(p) for p in preds] for preds in all_preds]
+    all_preds = host_gather_tree(all_preds)
     return _concat_masked(all_preds, all_targets, all_masks)
 
 
