@@ -88,3 +88,23 @@ def test_linear_probe_learns(tmp_path):
     best = probe.run(extract, data, data, batch_size=16, epochs=5,
                      label_weights=(1.0,) * 8)
     assert best["AUC_AVG"] > 0.8
+
+
+def test_host_gather_tree_matches_leafwise():
+    """host_gather_tree must be value-identical to leaf-by-leaf
+    host_gather (it only batches the device->host copies, BENCH.md
+    round 5), preserve tree structure, and return numpy arrays."""
+    from sm3x.parallel import host_gather, host_gather_tree
+
+    tree = {
+        "preds": [jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+                  jnp.ones((4,), jnp.bfloat16)],
+        "labels": (jnp.asarray([1, 0, 2], jnp.int32),),
+    }
+    out = host_gather_tree(tree)
+    ref = jax.tree.map(host_gather, tree)
+    assert jax.tree.structure(out) == jax.tree.structure(ref)
+    for a, b in zip(jax.tree.leaves(out), jax.tree.leaves(ref)):
+        assert isinstance(a, np.ndarray)
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
